@@ -57,7 +57,9 @@ def test_bm25_mode():
 
 
 def test_tie_break_doc_id_asc():
-    docs = [("a", "zebra apple"), ("b", "zebra apple"), ("c", "nothing common")]
+    # need df < N/2 so idf > 0 (idf clamps to 0 otherwise)
+    docs = [("a", "zebra apple"), ("b", "zebra apple"),
+            ("c", "nothing common"), ("d", "more filler"), ("e", "padding doc")]
     idx = build_oracle_index(docs)
     res = oracle_search(idx, "zebra", k=3)
     assert [r[1] for r in res] == ["a", "b"]

@@ -1,0 +1,183 @@
+"""Posting-list binary codec: sorted doc_ids, delta + varint, block-max.
+
+The reference keeps postings as scipy-CSR column slices
+(/root/reference/src/word2doc/retriever/utils.py:52-67,
+build_tfidf.py:138-142). Our on-disk unit is one compressed posting list per
+term_id, stored in a BinaryType parquet column:
+
+    header : u8 version | u8 flags | u16 block_size | u32 n_postings
+    blocks : per block of ≤block_size postings —
+             u32 n_bytes_docs | u32 n_bytes_tfs | u64 last_doc_id | u32 max_tf
+             then varint(delta(doc_ids)) ++ varint(tfs)
+
+``last_doc_id`` + ``max_tf`` per block give block-max WAND its skip
+pointers and impact upper bounds without decoding the block. doc_ids are
+u64 (10^12-doc scale); all encode/decode paths are numpy-vectorized (no
+per-value Python in the hot path).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_VERSION = 1
+_HEADER = struct.Struct("<BBHI")        # version, flags, block_size, n_postings
+_BLOCK_HDR = struct.Struct("<IIQI")     # nbytes_docs, nbytes_tfs, last_doc, max_tf
+
+
+def varint_encode(values: np.ndarray) -> np.ndarray:
+    """LEB128-style varint encode of a uint64 array → uint8 array."""
+    v = np.asarray(values, dtype=np.uint64)
+    n = v.size
+    if n == 0:
+        return np.empty(0, dtype=np.uint8)
+    nb = np.ones(n, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nb += (tmp > 0)
+        tmp >>= np.uint64(7)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(nb, out=offs[1:])
+    out = np.zeros(offs[-1], dtype=np.uint8)
+    cur = v.copy()
+    starts = offs[:-1]
+    for k in range(int(nb.max())):
+        mask = nb > k
+        idx = starts[mask] + k
+        byte = (cur[mask] & np.uint64(0x7F)).astype(np.uint8)
+        cont = ((k + 1) < nb[mask]).astype(np.uint8) << 7
+        out[idx] = byte | cont
+        cur >>= np.uint64(7)
+    return out
+
+
+def varint_decode(buf: np.ndarray, count: int | None = None) -> np.ndarray:
+    """Decode a uint8 varint stream → uint64 array."""
+    b = np.asarray(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    ends = (b & 0x80) == 0
+    starts = np.flatnonzero(np.concatenate(([True], ends[:-1])))
+    pos_in_val = np.arange(b.size, dtype=np.int64)
+    pos_in_val -= np.repeat(starts, np.diff(np.concatenate((starts, [b.size]))))
+    contrib = (b & np.uint8(0x7F)).astype(np.uint64) << (
+        np.uint64(7) * pos_in_val.astype(np.uint64)
+    )
+    vals = np.add.reduceat(contrib, starts)
+    if count is not None:
+        assert vals.size == count, f"varint count mismatch {vals.size} != {count}"
+    return vals
+
+
+def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray,
+                    block_size: int = 128) -> bytes:
+    """Encode one term's postings. doc_ids must be sorted unique ascending."""
+    doc_ids = np.asarray(doc_ids, dtype=np.uint64)
+    tfs = np.asarray(tfs, dtype=np.uint64)
+    n = doc_ids.size
+    parts = [_HEADER.pack(_VERSION, 0, block_size, n)]
+    prev_last = np.uint64(0)
+    for s in range(0, n, block_size):
+        e = min(s + block_size, n)
+        blk_docs = doc_ids[s:e]
+        blk_tfs = tfs[s:e]
+        deltas = np.empty(e - s, dtype=np.uint64)
+        deltas[0] = blk_docs[0] - prev_last  # first block: delta from 0
+        np.subtract(blk_docs[1:], blk_docs[:-1], out=deltas[1:])
+        db = varint_encode(deltas)
+        tb = varint_encode(blk_tfs)
+        parts.append(_BLOCK_HDR.pack(db.size, tb.size, int(blk_docs[-1]),
+                                     int(blk_tfs.max())))
+        parts.append(db.tobytes())
+        parts.append(tb.tobytes())
+        prev_last = blk_docs[-1]
+    return b"".join(parts)
+
+
+def decode_postings(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Full decode → (doc_ids uint64 ascending, tfs uint64)."""
+    version, _flags, block_size, n = _HEADER.unpack_from(payload, 0)
+    assert version == _VERSION
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    off = _HEADER.size
+    doc_chunks, tf_chunks = [], []
+    prev_last = np.uint64(0)
+    got = 0
+    while got < n:
+        nb_d, nb_t, _last, _mx = _BLOCK_HDR.unpack_from(payload, off)
+        off += _BLOCK_HDR.size
+        deltas = varint_decode(buf[off:off + nb_d])
+        off += nb_d
+        btfs = varint_decode(buf[off:off + nb_t])
+        off += nb_t
+        docs = np.cumsum(deltas, dtype=np.uint64) + prev_last
+        prev_last = docs[-1]
+        doc_chunks.append(docs)
+        tf_chunks.append(btfs)
+        got += docs.size
+    if not doc_chunks:
+        return np.empty(0, np.uint64), np.empty(0, np.uint64)
+    return np.concatenate(doc_chunks), np.concatenate(tf_chunks)
+
+
+def block_directory(payload: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Skip-list view without decoding blocks:
+    (block_byte_offsets, block_counts, last_doc_ids, max_tfs)."""
+    _v, _f, block_size, n = _HEADER.unpack_from(payload, 0)
+    off = _HEADER.size
+    offsets, counts, lasts, maxtfs = [], [], [], []
+    got = 0
+    while got < n:
+        nb_d, nb_t, last, mx = _BLOCK_HDR.unpack_from(payload, off)
+        cnt = min(block_size, n - got)
+        offsets.append(off)
+        counts.append(cnt)
+        lasts.append(last)
+        maxtfs.append(mx)
+        off += _BLOCK_HDR.size + nb_d + nb_t
+        got += cnt
+    return (np.asarray(offsets, dtype=np.int64),
+            np.asarray(counts, dtype=np.int64),
+            np.asarray(lasts, dtype=np.uint64),
+            np.asarray(maxtfs, dtype=np.uint64))
+
+
+def decode_block(payload: bytes, block_offset: int,
+                 prev_last_doc: int) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a single block given its byte offset and the previous block's
+    last doc_id (0 for the first block)."""
+    nb_d, nb_t, _last, _mx = _BLOCK_HDR.unpack_from(payload, block_offset)
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    s = block_offset + _BLOCK_HDR.size
+    deltas = varint_decode(buf[s:s + nb_d])
+    btfs = varint_decode(buf[s + nb_d:s + nb_d + nb_t])
+    docs = np.cumsum(deltas, dtype=np.uint64) + np.uint64(prev_last_doc)
+    return docs, btfs
+
+
+def merge_encoded(payloads: list[bytes], block_size: int = 128) -> bytes:
+    """Merge several encoded posting runs of the SAME term into one list.
+
+    Used by the two-phase salted build: salt buckets are doc_id ranges, so
+    runs are disjoint; a doc_id appearing in several runs (hash-collision
+    merge across partial builds) gets its tfs summed — reference
+    sum_duplicates semantics (build_tfidf.py:142).
+    """
+    docs_all, tfs_all = [], []
+    for p in payloads:
+        d, t = decode_postings(p)
+        docs_all.append(d)
+        tfs_all.append(t)
+    docs = np.concatenate(docs_all)
+    tfs = np.concatenate(tfs_all)
+    order = np.argsort(docs, kind="stable")
+    docs, tfs = docs[order], tfs[order]
+    if docs.size:
+        uniq_mask = np.concatenate(([True], docs[1:] != docs[:-1]))
+        idx = np.flatnonzero(uniq_mask)
+        summed = np.add.reduceat(tfs, idx)
+        docs = docs[idx]
+        tfs = summed
+    return encode_postings(docs, tfs, block_size)

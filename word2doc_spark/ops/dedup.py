@@ -1,0 +1,207 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all over a ``documents(doc_id, text, ...)`` table:
+
+* exact        — md5 fingerprint groupBy (one shuffle on the hash)
+* minhash LSH  — shingle → K minhashes → B bands → bucket self-join →
+                 candidate pairs (+ optional exact-jaccard verify)
+* n-gram jaccard — shingle-inverted-index pair generation + exact jaccard
+* simhash      — 64-bit simhash via vectorized pandas UDF + hamming bucket
+
+Scale notes: every pair-generating op goes through an equi-join on a
+bucket/band/shingle key — never a cross join. Hot shingles are dropped by
+a document-frequency cap before the self-join (standard stop-shingle
+trick), which bounds the join fan-out; the cap is logged, not silent.
+The cross-engine-stable string→int hash is ``md5 hex prefix → bigint``,
+identical in Spark and DuckDB, so the LSH ops have exact SQL oracles.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from word2doc_spark.ops.textstats import sql_tokens
+
+# md5-prefix hash: deterministic and identical in DuckDB
+# (Spark: conv(substring(md5(s),1,15),16,10); DuckDB: from_hex / strtol)
+
+
+def _md5_long(col) -> F.Column:
+    # 15 hex chars = 60 bits < 2^63: always fits signed bigint
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-gram shingles per doc."""
+    toks = docs.select("doc_id",
+                       F.posexplode(sql_tokens("text")).alias("pos", "token"))
+    w = F.col
+    joined = toks
+    for i in range(1, n):
+        nxt = toks.select(w("doc_id").alias("doc_id"),
+                          (w("pos") - i).alias("pos"),
+                          w("token").alias(f"t{i}"))
+        joined = joined.join(nxt, ["doc_id", "pos"])
+    cols = [F.col("token")] + [F.col(f"t{i}") for i in range(1, n)]
+    return (joined
+            .select("doc_id", F.concat_ws(" ", *cols).alias("shingle"))
+            .distinct())
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """(fp, n_dups, keep_doc_id, doc_ids) — exact-content duplicate groups;
+    keep the smallest doc_id per group (deterministic survivor)."""
+    fp = docs.select("doc_id",
+                     F.md5(F.array_join(sql_tokens("text"), " ")).alias("fp"))
+    return (fp.groupBy("fp")
+              .agg(F.count("*").alias("n_dups"),
+                   F.min("doc_id").alias("keep_doc_id"),
+                   F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+              .filter(F.col("n_dups") > 1))
+
+
+def minhash_signatures(docs: DataFrame, num_perm: int = 16,
+                       shingle_n: int = 3) -> DataFrame:
+    """(doc_id, perm, minhash) — K independent minhashes per doc.
+    Permutation i's hash of shingle s = md5_long(i || ':' || s); min over
+    the doc's shingle set. Pure built-ins → exact SQL twin."""
+    sh = shingles(docs, shingle_n)
+    perms = F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm")
+    expanded = sh.select("doc_id", "shingle", perms)
+    return (expanded
+            .select("doc_id", "perm",
+                    _md5_long(F.concat_ws(":", F.col("perm").cast("string"),
+                                          F.col("shingle"))).alias("h"))
+            .groupBy("doc_id", "perm")
+            .agg(F.min("h").alias("minhash")))
+
+
+def lsh_candidate_pairs(docs: DataFrame, num_perm: int = 16,
+                        bands: int = 4, shingle_n: int = 3) -> DataFrame:
+    """(doc_a, doc_b) candidate near-dup pairs: docs sharing ≥1 LSH band.
+
+    band signature = md5 of the band's concatenated minhashes; equi-join
+    on (band, signature) — no cross join, shuffle keyed by band buckets.
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(docs, num_perm, shingle_n)
+    banded = (sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+                 .groupBy("doc_id", "band")
+                 .agg(F.md5(F.concat_ws(",", F.sort_array(
+                     F.collect_list(F.concat_ws(":", "perm", "minhash")))))
+                      .alias("band_sig")))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_sig") == F.col("b.band_sig"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+             .distinct())
+
+
+def ngram_jaccard_pairs(docs: DataFrame, shingle_n: int = 3,
+                        threshold: float = 0.8,
+                        max_shingle_df: int = 1000) -> DataFrame:
+    """(doc_a, doc_b, jaccard) — exact n-gram jaccard over candidate pairs
+    from a shingle inverted index. Shingles occurring in more than
+    ``max_shingle_df`` docs are dropped before the self-join (fan-out
+    bound; affects only pairs whose sole overlap is stop-shingles —
+    those are below any useful threshold anyway)."""
+    sh = shingles(docs, shingle_n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    rare = (sh.join(sh.groupBy("shingle")
+                      .agg(F.count("*").alias("df_sh")),
+                    "shingle")
+              .filter(F.col("df_sh") <= max_shingle_df)
+              .select("doc_id", "shingle"))
+    a = rare.alias("a")
+    b = rare.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+               .groupBy(F.col("a.doc_id").alias("doc_a"),
+                        F.col("b.doc_id").alias("doc_b"))
+               .agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_sh").alias("n_b"))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("jaccard",
+                        F.round(F.col("inter").cast("double")
+                                / (F.col("n_a") + F.col("n_b")
+                                   - F.col("inter")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# simhash — vectorized pandas UDF (bit ops don't fit SQL builtins cleanly)
+# ---------------------------------------------------------------------------
+
+def simhash64(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — 64-bit simhash over token murmur hashes,
+    computed in one Arrow pass (rows-only correctness check)."""
+    from word2doc_spark.functions.hashing import murmurhash3_batch
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            out = np.zeros(len(pdf), dtype=np.uint64)
+            for i, text in enumerate(pdf["text"].fillna("")):
+                toks = [t for t in
+                        "".join(c if c.isalnum() else " "
+                                for c in text.lower()).split() if t]
+                if not toks:
+                    continue
+                h32 = murmurhash3_batch(toks)
+                # two 32-bit murmurs (seeded) → 64 bits
+                h32b = murmurhash3_batch([t + "\x01" for t in toks])
+                h64 = (h32.astype(np.uint64) << np.uint64(32)) | h32b
+                bits = ((h64[:, None] >> np.arange(64, dtype=np.uint64))
+                        & np.uint64(1)).astype(np.int64)
+                votes = (2 * bits - 1).sum(axis=0)
+                sim = np.uint64(0)
+                for b_i in np.flatnonzero(votes > 0):
+                    sim |= np.uint64(1) << np.uint64(b_i)
+                out[i] = sim
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "simhash": out.astype(np.int64)})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id long, simhash long")
+
+
+def simhash_near_dupes(docs: DataFrame, hamming_max: int = 3) -> DataFrame:
+    """(doc_a, doc_b, hamming) — near-dup pairs by simhash distance.
+    Candidate generation by 4×16-bit band equality (any doc pair within
+    hamming ≤ 3 shares at least one of 4 bands by pigeonhole)."""
+    sh = simhash64(docs)
+    bands = sh.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                      .bitwiseAND(F.lit(0xFFFF)).alias("key"))
+            for i in range(4)
+        ])).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     F.col("a.simhash").alias("sh_a"),
+                     F.col("b.simhash").alias("sh_b"))
+             .distinct())
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (cand.withColumn("hamming", hamming)
+                .filter(F.col("hamming") <= hamming_max)
+                .select("doc_a", "doc_b", "hamming"))

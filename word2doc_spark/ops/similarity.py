@@ -1,0 +1,98 @@
+"""Similarity search over an embedding column (array<float>).
+
+* brute_force_topk — exact cosine top-k: query side broadcast, dot
+  products via built-in higher-order functions (zip_with + aggregate,
+  JVM-side), window top-k. The correctness baseline; O(Q·N) but fully
+  distributed and shuffle-free until the final per-query window.
+* lsh_topk — scale path: random-hyperplane LSH bucket join; only
+  candidates sharing a bucket are scored. Recall<1 by design; the
+  baseline is the oracle for its quality tests.
+
+All float math is double-precision and sequential (aggregate folds left),
+so the brute-force op has an exact DuckDB twin (list_cosine_similarity
+is double too); scores are rounded to 6 dp on both sides before compare.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_col(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(vectors: DataFrame, queries: DataFrame,
+                     k: int = 5) -> DataFrame:
+    """vectors(vec_id, embedding), queries(query_vec_id, embedding) →
+    (query_vec_id, rank, neighbor_id, cosine). Excludes self-matches."""
+    from pyspark.sql import Window
+
+    q = queries.select(F.col("query_vec_id"),
+                       F.col("embedding").cast("array<double>").alias("qe"))
+    v = vectors.select(F.col("vec_id").alias("neighbor_id"),
+                       F.col("embedding").cast("array<double>").alias("ve"))
+    scored = (v.crossJoin(F.broadcast(q))
+               .filter(F.col("neighbor_id") != F.col("query_vec_id"))
+               .select("query_vec_id", "neighbor_id",
+                       F.round(cosine_col(F.col("qe"), F.col("ve")), 6)
+                        .alias("cosine")))
+    w = Window.partitionBy("query_vec_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_vec_id", "rank", "neighbor_id", "cosine"))
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def lsh_bucket(df: DataFrame, planes: np.ndarray, id_col: str,
+               emb_col: str = "embedding") -> DataFrame:
+    """Sign-of-projection bucket id per vector, built with zip_with/aggregate
+    (JVM) — one bucket per vector (single hash table; multiple tables =
+    union of calls with different seeds)."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        proj = _dot(F.col(emb_col).cast("array<double>"), arr)
+        bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return df.select(F.col(id_col), F.col(emb_col), bucket.alias("bucket"))
+
+
+def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
+             n_planes: int = 8, seed: int = 7) -> DataFrame:
+    """Approximate cosine top-k: candidates = same LSH bucket only."""
+    from pyspark.sql import Window
+
+    dim = len(vectors.select("embedding").first()["embedding"])
+    planes = random_hyperplanes(dim, n_planes, seed)
+    vb = lsh_bucket(vectors.select(F.col("vec_id").alias("neighbor_id"),
+                                   "embedding"), planes, "neighbor_id")
+    qb = lsh_bucket(queries, planes, "query_vec_id")
+    cand = (vb.join(F.broadcast(qb.withColumnRenamed("embedding", "qe")),
+                    "bucket")
+              .filter(F.col("neighbor_id") != F.col("query_vec_id")))
+    scored = cand.select(
+        "query_vec_id", "neighbor_id",
+        F.round(cosine_col(F.col("qe").cast("array<double>"),
+                           F.col("embedding").cast("array<double>")), 6)
+         .alias("cosine"))
+    w = Window.partitionBy("query_vec_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_vec_id", "rank", "neighbor_id", "cosine"))

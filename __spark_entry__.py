@@ -1,38 +1,446 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Two families of entries:
+
+* SQL-twin queries — expressed with built-in pyspark.sql.functions over a
+  simple ``[a-z0-9]+`` analyzer so DuckDB can run a bit-matching oracle
+  (same tokenization, same double math, scores rounded to 6 dp on both
+  sides). These cover the SQL-expressible operator rows of SURVEY.md §2
+  (D1-D6, E1-E3, F1, G-ops, plus the training-data ops).
+* engine_* queries — the real murmur-hashed inverted-index engine
+  (build + exact/WAND query). Not SQL-expressible (murmur3 + regex-module
+  tokenization); the driver records rows-only checks, and the strong
+  rank/score-identity gate lives in tests/ against the numpy oracle.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import Window
 
+from word2doc_spark.config import IndexConfig
+from word2doc_spark.functions.stopwords import (
+    DE_STOPWORDS, FR_STOPWORDS, STOPWORDS,
+)
+from word2doc_spark.ops import dedup as D
+from word2doc_spark.ops import similarity as S
+from word2doc_spark.ops import textstats as TS
+
+# ---------------------------------------------------------------------------
+# fixed query set (simple analyzer: lower + split on non-alnum)
+# ---------------------------------------------------------------------------
+
+QUERY_SET = [
+    (1, "spark shuffle partition join"),
+    (2, "hash table scan fast"),
+    (3, "window order data column"),
+    (4, "customer line query batch value"),
+    (5, "row row scan slow"),          # repeated term → qtf 2
+]
+TOPK = 10
+
+
+def _tokenize_simple(q: str) -> list[str]:
+    import re
+    return [t for t in re.split(r"[^a-z0-9]+", q.lower()) if t]
+
+
+def _query_terms() -> list[tuple[int, str, int]]:
+    rows = []
+    for qid, q in QUERY_SET:
+        from collections import Counter
+        for term, qtf in sorted(Counter(_tokenize_simple(q)).items()):
+            rows.append((qid, term, qtf))
+    return rows
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (TS.exploded_tokens(_docs(spark, sf_dir))
+            .groupBy("doc_id", F.col("token").alias("term"))
+            .agg(F.count("*").alias("tf")))
+
+
+def _scored(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
+    """DrQA / BM25 scoring with the simple analyzer (SQL-twin path)."""
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()
+    tf = _tf(spark, sf_dir)
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    qt = spark.createDataFrame(_query_terms(),
+                               "query_id int, term string, qtf int")
+    idf = F.greatest(
+        F.lit(0.0),
+        F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)))
+    j = (tf.join(dfreq, "term").join(F.broadcast(qt), "term")
+           .withColumn("idf", idf))
+    if mode == "drqa":
+        contrib = (F.log1p(F.col("qtf").cast("double")) * F.col("idf")
+                   * F.col("idf") * F.log1p(F.col("tf").cast("double")))
+        per = j.withColumn("contrib", contrib)
+    else:
+        dl = (TS.exploded_tokens(docs).groupBy("doc_id")
+              .agg(F.count("*").alias("dl")))
+        avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+        per = (j.join(dl, "doc_id")
+                .withColumn(
+                    "contrib",
+                    F.log1p(F.col("qtf").cast("double")) * F.col("idf")
+                    * (F.col("tf").cast("double") * 2.2)
+                    / (F.col("tf").cast("double")
+                       + 1.2 * (0.25 + 0.75 * F.col("dl") / F.lit(float(avgdl))))))
+    scored = per.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib").alias("s"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= TOPK)
+            .select("query_id", "rank", "doc_id",
+                    F.round("s", 6).alias("score")))
+
+
+# ---------------------------------------------------------------------------
+# engine-path queries (murmur-hash index; rows-only driver check)
+# ---------------------------------------------------------------------------
+
+_ENGINE_CFG = IndexConfig(hash_size=2 ** 22, num_shards=8,
+                          score_mode="drqa")
+
+
+def _engine_index(spark: SparkSession, sf_dir: str) -> str:
+    from word2doc_spark.index.build import build_index
+    from word2doc_spark.index.manifest import Manifest
+    from word2doc_spark.sources.pages import pages_from_documents
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    index_dir = f"/tmp/w2d_entry_index_{tag}"
+    if not Manifest(index_dir).is_published():
+        pages = pages_from_documents(spark, sf_dir)
+        build_index(spark, pages, index_dir, _ENGINE_CFG,
+                    input_token=sf_dir)
+    return index_dir
+
+
+def _engine_queries_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(qid, q) for qid, q in QUERY_SET], "query_id long, query string")
+
+
+def _engine_topk(spark, sf_dir, mode, path):
+    from word2doc_spark.query.exact import search_exact
+    from word2doc_spark.query.wand import search_wand
+    index_dir = _engine_index(spark, sf_dir)
+    fn = search_exact if path == "exact" else search_wand
+    out = fn(spark, index_dir, _engine_queries_df(spark), k=TOPK,
+             score_mode=mode)
+    return out.select("query_id", "rank", "url",
+                      F.round("score", 6).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full engine build + exact DrQA top-k at sf0.001."""
+    return _engine_topk(spark, "/root/testdata/sf0.001", "drqa", "exact")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- retrieval core, SQL-twin analyzer (D1-D6, E2, F1) ---
+    q["tf_per_doc"] = lambda s, d: _tf(s, d)
+    def doc_freq_idf(s, d):
+        n = float(_docs(s, d).count())
+        return (_tf(s, d).groupBy("term").agg(F.count("*").alias("df"))
+                .select("term", "df",
+                        F.round(F.greatest(F.lit(0.0),
+                                F.log((F.lit(n) - F.col("df") + 0.5)
+                                      / (F.col("df") + 0.5))), 6).alias("idf")))
+    q["doc_freq_idf"] = doc_freq_idf
+    q["corpus_stats"] = lambda s, d: (
+        TS.exploded_tokens(_docs(s, d))
+        .agg(F.countDistinct("doc_id").alias("n_docs"),
+             F.count("*").alias("n_tokens"),
+             F.countDistinct("token").alias("n_terms"),
+             F.round(F.count("*").cast("double")
+                     / F.countDistinct("doc_id"), 6).alias("avgdl")))
+    q["drqa_topk"] = lambda s, d: _scored(s, d, "drqa")
+    q["bm25_topk"] = lambda s, d: _scored(s, d, "bm25")
+    q["doc_id_assign"] = lambda s, d: (
+        _docs(s, d).select(
+            F.concat(F.lit("https://fixtures.local/"), F.col("source"),
+                     F.lit("/"), F.col("doc_id").cast("string")).alias("url"))
+        .withColumn("new_doc_id",
+                    (F.row_number().over(Window.orderBy("url")) - 1)
+                    .cast("long")))
+
+    # --- training-data ops: text analysis ---
+    q["token_counts"] = lambda s, d: TS.token_counts(_docs(s, d))
+    q["lang_id"] = lambda s, d: TS.lang_id(_docs(s, d))
+    q["quality_score"] = lambda s, d: TS.quality_score(_docs(s, d))
+    q["fingerprint"] = lambda s, d: TS.fingerprint(_docs(s, d))
+
+    # --- training-data ops: dedup ---
+    q["dedup_exact"] = lambda s, d: (
+        D.exact_duplicates(_docs(s, d)).select("fp", "n_dups", "keep_doc_id"))
+    q["minhash_sigs"] = lambda s, d: D.minhash_signatures(
+        _docs(s, d), num_perm=8, shingle_n=3)
+    q["ngram_jaccard"] = lambda s, d: D.ngram_jaccard_pairs(
+        _docs(s, d), shingle_n=3, threshold=0.05)
+    q["simhash"] = lambda s, d: D.simhash64(_docs(s, d))          # rows-only
+    q["lsh_pairs"] = lambda s, d: D.lsh_candidate_pairs(
+        _docs(s, d), num_perm=8, bands=4)
+
+    # --- similarity search ---
+    q["ann_cosine_topk"] = lambda s, d: S.brute_force_topk(
+        _emb(s, d),
+        _emb(s, d).filter(F.col("vec_id") < 5)
+                  .select(F.col("vec_id").alias("query_vec_id"), "embedding"),
+        k=5)
+    q["ann_lsh_topk"] = lambda s, d: S.lsh_topk(                   # rows-only
+        _emb(s, d),
+        _emb(s, d).filter(F.col("vec_id") < 5)
+                  .select(F.col("vec_id").alias("query_vec_id"), "embedding"),
+        k=5)
+
+    # --- engine paths (murmur-hash index; rows-only) ---
+    q["engine_drqa_topk"] = lambda s, d: _engine_topk(s, d, "drqa", "exact")
+    q["engine_bm25_topk"] = lambda s, d: _engine_topk(s, d, "bm25", "exact")
+    q["engine_wand_topk"] = lambda s, d: _engine_topk(s, d, "drqa", "wand")
+    return q
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_TOK = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+        "t -> t <> '')")
+
+
+def _sql_array(words) -> str:
+    inner = ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(words))
+    return f"[{inner}]"
+
+
+def _values_qterms() -> str:
+    return ", ".join(f"({qid}, '{t}', {qtf})"
+                     for qid, t, qtf in _query_terms())
+
+
+def _topk_sql(mode: str) -> str:
+    contrib = {
+        "drqa": "ln(1 + q.qtf) * d.idf * d.idf * ln(1 + tf.tf)",
+        "bm25": ("ln(1 + q.qtf) * d.idf * (tf.tf * 2.2) / "
+                 "(tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / "
+                 "(SELECT avg(dl) FROM dls)))"),
+    }[mode]
+    dl_join = "JOIN dls dl ON dl.doc_id = tf.doc_id" if mode == "bm25" else ""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2
+), dls AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1
+), dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df,
+         greatest(0.0, ln(((SELECT count(*) FROM documents) - count(*) + 0.5)
+                          / (count(*) + 0.5))) AS idf
+  FROM tf GROUP BY term
+), q(query_id, term, qtf) AS (
+  VALUES {_values_qterms()}
+), contrib AS (
+  SELECT q.query_id, tf.doc_id, {contrib} AS c
+  FROM tf JOIN dfreq d USING (term) JOIN q USING (term) {dl_join}
+), scored AS (
+  SELECT query_id, doc_id, sum(c) AS s,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sum(c) DESC, doc_id) AS rank
+  FROM contrib GROUP BY query_id, doc_id
+)
+SELECT query_id, rank, doc_id, round(s, 6) AS score
+FROM scored WHERE rank <= {TOPK}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sw = _sql_array(STOPWORDS)
+    de = _sql_array(DE_STOPWORDS)
+    fr = _sql_array(FR_STOPWORDS)
+    md5l = "(('0x' || substring(md5({x}), 1, 15))::BIGINT)"
+    o: dict[str, str] = {}
+
+    o["tf_per_doc"] = f"""
+SELECT doc_id, term, count(*) AS tf
+FROM (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+GROUP BY doc_id, term"""
+
+    o["doc_freq_idf"] = f"""
+WITH tf AS (
+  SELECT doc_id, term FROM
+    (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+  GROUP BY doc_id, term
+)
+SELECT term, count(*) AS df,
+       round(greatest(0.0,
+         ln(((SELECT count(*) FROM documents) - count(*) + 0.5)
+            / (count(*) + 0.5))), 6) AS idf
+FROM tf GROUP BY term"""
+
+    o["corpus_stats"] = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOK}) AS token FROM documents)
+SELECT count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_tokens,
+       count(DISTINCT token) AS n_terms,
+       round(count(*)::DOUBLE / count(DISTINCT doc_id), 6) AS avgdl
+FROM tok"""
+
+    o["drqa_topk"] = _topk_sql("drqa")
+    o["bm25_topk"] = _topk_sql("bm25")
+
+    o["doc_id_assign"] = """
+SELECT url, row_number() OVER (ORDER BY url) - 1 AS new_doc_id
+FROM (SELECT 'https://fixtures.local/' || source || '/' || doc_id AS url
+      FROM documents)"""
+
+    o["token_counts"] = f"""
+SELECT doc_id,
+       len({_TOK}) AS n_tokens,
+       len(list_distinct({_TOK})) AS n_distinct,
+       length(text) AS n_chars
+FROM documents"""
+
+    o["lang_id"] = f"""
+WITH t AS (
+  SELECT doc_id, list_distinct({_TOK}) AS toks FROM documents
+), r AS (
+  SELECT doc_id,
+    len(list_intersect(toks, {sw}))::DOUBLE / greatest(len(toks), 1) AS en,
+    len(list_intersect(toks, {de}))::DOUBLE / greatest(len(toks), 1) AS de,
+    len(list_intersect(toks, {fr}))::DOUBLE / greatest(len(toks), 1) AS fr
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN greatest(en, de, fr) <= 0.0 THEN 'und'
+       WHEN en = greatest(en, de, fr) THEN 'en'
+       WHEN de = greatest(en, de, fr) THEN 'de'
+       ELSE 'fr' END AS lang_guess
+FROM r"""
+
+    o["quality_score"] = f"""
+WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+m AS (
+  SELECT doc_id, len(toks) AS n,
+    len(list_filter(toks, x -> list_contains({sw}, x)))::DOUBLE
+      / greatest(len(toks), 1) AS swr,
+    coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::DOUBLE
+      / greatest(len(toks), 1) AS mtl
+  FROM t
+)
+SELECT doc_id, n AS n_tokens, round(swr, 6) AS stopword_ratio,
+       round(mtl, 6) AS mean_token_len,
+       round(CASE WHEN n < 5 THEN 0.0 ELSE
+         least(1.0, n / 100.0) * 0.4
+         + CASE WHEN swr >= 0.05 AND swr <= 0.6 THEN 0.4 ELSE 0.0 END
+         + CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 0.2 ELSE 0.0 END
+       END, 6) AS quality
+FROM m"""
+
+    o["fingerprint"] = f"""
+SELECT doc_id, md5(array_to_string({_TOK}, ' ')) AS fp FROM documents"""
+
+    o["dedup_exact"] = f"""
+WITH fp AS (
+  SELECT doc_id, md5(array_to_string({_TOK}, ' ')) AS fp FROM documents
+)
+SELECT fp, count(*) AS n_dups, min(doc_id) AS keep_doc_id
+FROM fp GROUP BY fp HAVING count(*) > 1"""
+
+    # deterministic shingles straight off the token list (1-indexed lists)
+    shingle_cte = f"""
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(len(toks) - 2),
+                i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]))
+           AS shingle
+  FROM (SELECT doc_id, {_TOK} AS toks FROM documents)
+)"""
+
+    o["minhash_sigs"] = f"""
+WITH {shingle_cte},
+perms AS (SELECT unnest(range(8)) AS perm)
+SELECT doc_id, perm,
+       min({md5l.format(x="perm::VARCHAR || ':' || shingle")}) AS minhash
+FROM sh CROSS JOIN perms
+GROUP BY doc_id, perm"""
+
+    o["ngram_jaccard"] = f"""
+WITH {shingle_cte},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+dfsh AS (SELECT shingle, count(*) AS df_sh FROM sh GROUP BY shingle),
+rare AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfsh USING (shingle)
+         WHERE df_sh <= 1000),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM rare a JOIN rare b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.05"""
+
+    o["lsh_pairs"] = f"""
+WITH {shingle_cte},
+perms AS (SELECT unnest(range(8)) AS perm),
+sig AS (
+  SELECT doc_id, perm,
+         min({md5l.format(x="perm::VARCHAR || ':' || shingle")}) AS minhash
+  FROM sh CROSS JOIN perms GROUP BY doc_id, perm
+),
+banded AS (
+  SELECT doc_id, floor(perm / 2)::INT AS band,
+         md5(array_to_string(list_sort(
+             list(perm::VARCHAR || ':' || minhash::VARCHAR)), ',')) AS band_sig
+  FROM sig GROUP BY doc_id, floor(perm / 2)::INT
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id"""
+
+    o["ann_cosine_topk"] = """
+WITH q AS (
+  SELECT vec_id AS query_vec_id, embedding::DOUBLE[] AS qe
+  FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_vec_id, v.vec_id AS neighbor_id,
+         round(list_cosine_similarity(v.embedding::DOUBLE[], q.qe), 6)
+           AS cosine,
+         row_number() OVER (
+           PARTITION BY q.query_vec_id
+           ORDER BY list_cosine_similarity(v.embedding::DOUBLE[], q.qe) DESC,
+                    v.vec_id) AS rank
+  FROM embeddings v CROSS JOIN q
+  WHERE v.vec_id <> q.query_vec_id
+)
+SELECT query_vec_id, rank, neighbor_id, cosine FROM scored WHERE rank <= 5"""
+
+    # rows-only (no SQL twin): simhash, ann_lsh_topk, engine_* — murmur3 /
+    # bit ops / regex-module analysis aren't expressible in DuckDB SQL.
+    return o

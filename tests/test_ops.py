@@ -1,0 +1,178 @@
+"""Training-data ops: dedup (exact/minhash/jaccard/simhash), similarity
+search, text stats, multimodal plumbing — on corpora with planted dups."""
+
+import numpy as np
+import pytest
+import pyspark.sql.functions as F
+
+from word2doc_spark.ops import dedup as D
+from word2doc_spark.ops import multimodal as M
+from word2doc_spark.ops import similarity as S
+from word2doc_spark.ops import textstats as TS
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog near the river bank "
+    "while searching for tasty salmon in the early morning light"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE, "en"),
+        (1, BASE, "en"),                                   # exact dup of 0
+        (2, BASE + " extra trailing words here", "en"),    # near dup of 0
+        (3, "Der schnelle braune Fuchs springt über den faulen Hund und "
+            "die Katze ist auch nicht schlecht für den Wald", "de"),
+        (4, "le renard brun rapide saute par dessus le chien paresseux "
+            "dans la forêt pour une baguette", "fr"),
+        (5, "completely different content about spark executors and "
+            "shuffle partitions in a distributed cluster environment", "en"),
+        (6, "THE  Quick   Brown FOX jumps over the lazy dog near the "
+            "river bank while searching for tasty salmon in the early "
+            "morning light", "en"),                        # ws/case dup of 0
+        (7, "xz", "en"),                                   # tiny doc
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_duplicates(docs):
+    groups = D.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["n_dups"] == 3          # 0, 1, 6 (case/ws-insensitive tokens)
+    assert g["keep_doc_id"] == 0
+    assert g["doc_ids"] == [0, 1, 6]
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in D.lsh_candidate_pairs(docs, num_perm=16, bands=4).collect()}
+    # exact dups always collide on every band
+    assert (0, 1) in pairs and (0, 6) in pairs and (1, 6) in pairs
+    # near-dup 2 shares most shingles with 0 → should share ≥1 band
+    assert (0, 2) in pairs
+    # unrelated docs must not pair
+    assert (0, 5) not in pairs and (3, 4) not in pairs
+
+
+def test_ngram_jaccard(docs):
+    rows = D.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.5).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
+    assert got[(0, 1)] == 1.0
+    assert got[(0, 6)] == 1.0
+    assert 0.5 <= got[(0, 2)] < 1.0
+    assert (0, 5) not in got
+
+
+def test_simhash_near_dups(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash64(docs).collect()}
+    assert sh[0] == sh[1] == sh[6]   # identical token streams
+    ham02 = bin(sh[0] ^ sh[2]).count("1")
+    ham05 = bin(sh[0] ^ sh[5]).count("1")
+    assert ham02 < ham05
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in D.simhash_near_dupes(docs, hamming_max=16).collect()}
+    assert pairs[(0, 1)] == 0
+
+
+def test_lang_id(docs):
+    got = {r["doc_id"]: r["lang_guess"] for r in TS.lang_id(docs).collect()}
+    assert got[0] == "en"
+    assert got[3] == "de"
+    assert got[4] == "fr"
+    assert got[7] == "und"
+
+
+def test_quality_and_counts(docs):
+    q = {r["doc_id"]: r for r in TS.quality_score(docs).collect()}
+    assert q[7]["quality"] == 0.0            # too short
+    assert q[0]["quality"] > 0.5
+    tc = {r["doc_id"]: r for r in TS.token_counts(docs).collect()}
+    assert tc[0]["n_tokens"] == len(BASE.split())
+    fp = {r["doc_id"]: r["fp"] for r in TS.fingerprint(docs).collect()}
+    assert fp[0] == fp[1] == fp[6]
+    assert fp[0] != fp[2]
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((8, 16))
+    rows = []
+    vid = 0
+    for c in range(8):
+        for _ in range(12):
+            v = base[c] + 0.15 * rng.standard_normal(16)
+            rows.append((vid, [float(x) for x in v], c))
+            vid += 1
+    return spark.createDataFrame(rows,
+                                 "vec_id long, embedding array<float>, label int")
+
+
+def test_brute_force_topk_recalls_cluster(vectors):
+    q = (vectors.filter(F.col("vec_id") == 0)
+         .select(F.col("vec_id").alias("query_vec_id"), "embedding"))
+    res = S.brute_force_topk(vectors, q, k=5).collect()
+    assert len(res) == 5
+    labels = {r["vec_id"]: r["label"] for r in vectors.collect()}
+    # all 5 nearest neighbours of vec 0 come from its own cluster
+    assert all(labels[r["neighbor_id"]] == labels[0] for r in res)
+    assert [r["rank"] for r in sorted(res, key=lambda r: r["rank"])] == \
+        [1, 2, 3, 4, 5]
+
+
+def test_lsh_topk_subset_of_brute(vectors):
+    q = (vectors.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("query_vec_id"), "embedding"))
+    brute = S.brute_force_topk(vectors, q, k=5).collect()
+    lsh = S.lsh_topk(vectors, q, k=5, n_planes=6).collect()
+    bs = {(r["query_vec_id"], r["neighbor_id"], r["cosine"]) for r in brute}
+    # every LSH hit must be a genuine cosine (scores match brute force
+    # when present) — recall may be < 1, precision of scores is exact
+    brute_scores = {(r["query_vec_id"], r["neighbor_id"]): r["cosine"]
+                    for r in brute}
+    for r in lsh:
+        key = (r["query_vec_id"], r["neighbor_id"])
+        if key in brute_scores:
+            assert abs(r["cosine"] - brute_scores[key]) < 1e-9
+    del bs
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def test_multimodal_features(spark):
+    media = M.synthetic_media(spark, 30)
+    feats = M.decode_features(media, strict=False).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert len(r["features"]) == M.FEATURE_DIM
+        n = sum(x * x for x in r["features"])
+        assert abs(n - 1.0) < 1e-9  # unit-norm fake features
+    # determinism
+    again = M.decode_features(media, strict=False).collect()
+    a = {r["media_id"]: r["features"] for r in feats}
+    b = {r["media_id"]: r["features"] for r in again}
+    assert a == b
+
+
+def test_multimodal_strict_raises(spark):
+    media = M.synthetic_media(spark, 3)
+    with pytest.raises(Exception):
+        M.decode_features(media, strict=True).collect()
+
+
+def test_frame_sample_plan(spark):
+    media = M.synthetic_media(spark, 30)
+    plan = M.frame_sample_plan(media, every_ms=1000)
+    rows = plan.collect()
+    vids = {r["media_id"] for r in media.filter("kind = 'video'").collect()}
+    assert {r["media_id"] for r in rows} == vids
+    for r in rows:
+        assert r["ts_ms"] == r["frame_idx"] * 1000

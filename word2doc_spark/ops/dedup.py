@@ -71,7 +71,9 @@ def minhash_signatures(docs: DataFrame, num_perm: int = 16,
     Permutation i's hash of shingle s = md5_long(i || ':' || s); min over
     the doc's shingle set. Pure built-ins → exact SQL twin."""
     sh = shingles(docs, shingle_n)
-    perms = F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm")
+    perms = F.explode(
+        F.sequence(F.lit(0).cast("long"), F.lit(num_perm - 1).cast("long"))
+    ).alias("perm")
     expanded = sh.select("doc_id", "shingle", perms)
     return (expanded
             .select("doc_id", "perm",
@@ -90,7 +92,8 @@ def lsh_candidate_pairs(docs: DataFrame, num_perm: int = 16,
     """
     rows_per_band = num_perm // bands
     sig = minhash_signatures(docs, num_perm, shingle_n)
-    banded = (sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+    banded = (sig.withColumn("band",
+                             F.floor(F.col("perm") / rows_per_band).cast("int"))
                  .groupBy("doc_id", "band")
                  .agg(F.md5(F.concat_ws(",", F.sort_array(
                      F.collect_list(F.concat_ws(":", "perm", "minhash")))))

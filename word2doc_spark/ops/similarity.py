@@ -50,7 +50,7 @@ def brute_force_topk(vectors: DataFrame, queries: DataFrame,
                         .alias("cosine")))
     w = Window.partitionBy("query_vec_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
                   .filter(F.col("rank") <= k)
                   .select("query_vec_id", "rank", "neighbor_id", "cosine"))
 
@@ -93,6 +93,6 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
          .alias("cosine"))
     w = Window.partitionBy("query_vec_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
                   .filter(F.col("rank") <= k)
                   .select("query_vec_id", "rank", "neighbor_id", "cosine"))

@@ -42,9 +42,9 @@ def token_counts(docs: DataFrame) -> DataFrame:
     toks = sql_tokens("text")
     return docs.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
-        F.length("text").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.length("text").cast("long").alias("n_chars"),
     )
 
 
@@ -90,7 +90,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
         )
     )
     return docs.select(
-        "doc_id", n.alias("n_tokens"),
+        "doc_id", n.cast("long").alias("n_tokens"),
         F.round(swr, 6).alias("stopword_ratio"),
         F.round(mtl, 6).alias("mean_token_len"),
         F.round(quality, 6).alias("quality"),

@@ -1,0 +1,40 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint: batch top-k retrieval against a built index.
+
+    spark-submit --py-files word2doc_spark.zip scripts/run_queries.py \\
+        --index-dir /path/to/index --queries /path/to/queries.parquet \\
+        --out /path/to/results [--k 10] [--path wand|exact] \\
+        [--score-mode drqa|bm25]
+
+queries parquet schema: (query_id long, query string). Results are written
+as parquet (query_id, rank, doc_id, url, score).
+"""
+
+import argparse
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--index-dir", required=True)
+    p.add_argument("--queries", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--path", default="wand", choices=["wand", "exact"])
+    p.add_argument("--score-mode", default=None, choices=[None, "drqa", "bm25"])
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from word2doc_spark.query.exact import search_exact
+    from word2doc_spark.query.wand import search_wand
+
+    spark = SparkSession.builder.appName("w2d-run-queries").getOrCreate()
+    queries = spark.read.parquet(args.queries)
+    fn = search_wand if args.path == "wand" else search_exact
+    out = fn(spark, args.index_dir, queries, k=args.k,
+             score_mode=args.score_mode)
+    out.write.mode("overwrite").parquet(args.out)
+    print(f"wrote {spark.read.parquet(args.out).count()} result rows to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

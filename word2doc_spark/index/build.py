@@ -234,6 +234,9 @@ def build_index(
         staged = spark.read.parquet(stage_path)
         (staged.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
                .write.mode("overwrite").parquet(doclen_path))
+        parent = getattr(docs, "_w2d_persisted_parent", None)
+        if parent is not None:
+            parent.unpersist()
         manifest.write_marker("stage", fp, wall_s=time.time() - t0)
 
     n_docs = spark.read.parquet(docs_path).count()
@@ -241,35 +244,43 @@ def build_index(
     # -- stage 3: per-shard encode (independent, resumable) --------------
     done = manifest.completed_shards(fp)
     staged_all = spark.read.parquet(stage_path)
-    for shard_id in range(config.num_shards):
-        if shard_id in done:
-            metrics["resumed_stages"].append(f"shard_{shard_id}")
-            continue
+    todo = [s for s in range(config.num_shards) if s not in done]
+    metrics["resumed_stages"].extend(
+        f"shard_{s}" for s in range(config.num_shards) if s in done)
+
+    # head terms (df ≥ threshold) detected ONCE over all pending shards —
+    # a single partial-aggregated count job; the head set is tiny by
+    # construction (only degenerate corpora have many ultra-common terms)
+    head_by_shard: dict[int, list[int]] = {s: [] for s in todo}
+    if todo:
+        head_rows = (
+            staged_all.filter(F.col("shard_id").isin(todo))
+            .groupBy("shard_id", "term_id")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") >= config.salt_df_threshold)
+            .select("shard_id", "term_id").collect())
+        for r in head_rows:
+            head_by_shard[r["shard_id"]].append(r["term_id"])
+
+    for shard_id in todo:
         t0 = time.time()
         shard_terms = staged_all.filter(F.col("shard_id") == shard_id) \
                                 .select("doc_id", "term_id", "tf")
-        # head/tail split by df (explicit skew handling)
-        df_stats = shard_terms.groupBy("term_id").agg(F.count("*").alias("df"))
-        head_ids = [
-            r["term_id"] for r in
-            df_stats.filter(F.col("df") >= config.salt_df_threshold)
-                    .select("term_id").collect()
-        ]
+        head_ids = head_by_shard[shard_id]
         if head_ids:
-            head_set = set(head_ids)
             tail = shard_terms.filter(~F.col("term_id").isin(head_ids))
             head = shard_terms.filter(F.col("term_id").isin(head_ids))
             encoded = _encode_term_runs(tail, config, sp).unionByName(
                 _encode_salted(head, config, n_docs, sp))
-            del head_set
         else:
             encoded = _encode_term_runs(shard_terms, config, sp)
+        encoded = encoded.persist()
         out = os.path.join(shards_path, f"shard_id={shard_id}")
         encoded.write.mode("overwrite").parquet(out)
-
-        srows = spark.read.parquet(out).agg(
+        srows = encoded.agg(
             F.count("*").alias("terms"), F.sum("n_postings").alias("postings"),
             F.sum(F.length("payload")).alias("bytes")).collect()[0]
+        encoded.unpersist()
         manifest.write_shard(
             shard_id, fp,
             n_terms=srows["terms"], n_postings=int(srows["postings"] or 0),

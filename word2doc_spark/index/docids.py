@@ -66,5 +66,8 @@ def assign_doc_ids(pages: DataFrame, num_partitions: int | None = None) -> DataF
             yield out
 
     result = ranged.mapInPandas(add_ids, schema=out_schema)
+    # expose the persisted parent so callers can unpersist once their
+    # downstream actions are done (build_index does)
+    result._w2d_persisted_parent = ranged
     del fields
     return result

@@ -154,7 +154,9 @@ def search_exact(
         F.desc("score"), F.asc("doc_id"))
     topk = (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k))
+    # url lookup: top-k is ≤ Q·k rows — broadcast it so the (potentially
+    # enormous) docs table is never shuffled
     docs = spark.read.parquet(os.path.join(index_dir, "docs"))
-    return (topk.join(docs, "doc_id")
+    return (docs.join(F.broadcast(topk), "doc_id")
                 .select("query_id", "rank", "doc_id", "url", "score")
                 .orderBy("query_id", "rank"))

@@ -275,6 +275,6 @@ def search_wand(
 
     topk = joined.groupBy("query_id").applyInPandas(run_query, RESULT_SCHEMA)
     docs = spark.read.parquet(os.path.join(index_dir, "docs"))
-    return (topk.join(docs, "doc_id")
+    return (docs.join(F.broadcast(topk), "doc_id")
                 .select("query_id", "rank", "doc_id", "url", "score")
                 .orderBy("query_id", "rank"))

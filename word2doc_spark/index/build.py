@@ -219,8 +219,10 @@ def build_index(
     shards_path = os.path.join(index_dir, "shards")
 
     # -- stage 1+2: docs + staged terms ---------------------------------
+    n_docs = None
     if manifest.has_marker("stage", fp):
         metrics["resumed_stages"].append("stage")
+        n_docs = manifest.read_marker("stage").get("n_docs")
     else:
         t0 = time.time()
         docs = assign_doc_ids(extracted_docs(pages, lang_filter), sp)
@@ -234,12 +236,16 @@ def build_index(
         staged = spark.read.parquet(stage_path)
         (staged.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
                .write.mode("overwrite").parquet(doclen_path))
-        parent = getattr(docs, "_w2d_persisted_parent", None)
-        if parent is not None:
-            parent.unpersist()
-        manifest.write_marker("stage", fp, wall_s=time.time() - t0)
+        for attr in ("_w2d_persisted_parent", "_w2d_persisted_input"):
+            parent = getattr(docs, attr, None)
+            if parent is not None:
+                parent.unpersist()
+        n_docs = getattr(docs, "_w2d_n_docs", None)
+        manifest.write_marker("stage", fp, wall_s=time.time() - t0,
+                              n_docs=n_docs)
 
-    n_docs = spark.read.parquet(docs_path).count()
+    if n_docs is None:
+        n_docs = spark.read.parquet(docs_path).count()
 
     # -- stage 3: per-shard encode (independent, resumable) --------------
     done = manifest.completed_shards(fp)

@@ -29,6 +29,9 @@ def assign_doc_ids(pages: DataFrame, num_partitions: int | None = None) -> DataF
     Output: same columns + ``doc_id`` (long), sorted-by-url dense ids,
     range-partitioned by url (ascending partitions)."""
     n_part = num_partitions or pages.sparkSession.sparkContext.defaultParallelism
+    # cache the input so the range-boundary sampling pass doesn't re-run
+    # the upstream pipeline (e.g. HTML extraction) a second time
+    pages = pages.persist(StorageLevel.MEMORY_AND_DISK)
     ranged = (
         pages.repartitionByRange(n_part, "url")
         .sortWithinPartitions("url")
@@ -66,8 +69,10 @@ def assign_doc_ids(pages: DataFrame, num_partitions: int | None = None) -> DataF
             yield out
 
     result = ranged.mapInPandas(add_ids, schema=out_schema)
-    # expose the persisted parent so callers can unpersist once their
-    # downstream actions are done (build_index does)
+    # expose the persisted parents (for caller unpersist) and the already-
+    # computed corpus cardinality (saves callers a count job)
     result._w2d_persisted_parent = ranged
+    result._w2d_persisted_input = pages
+    result._w2d_n_docs = acc
     del fields
     return result

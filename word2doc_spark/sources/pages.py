@@ -131,3 +131,59 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
         F.col("lang"),
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed generator (bench scale) — deterministic per doc_id
+# ---------------------------------------------------------------------------
+
+def synthetic_pages_distributed(spark: SparkSession, n_docs: int,
+                                seed: int = 42,
+                                num_partitions: int | None = None,
+                                words_low: int = 120,
+                                words_high: int = 400) -> DataFrame:
+    """Spark-parallel synthetic pages: each row derived from
+    random.Random(seed * 10**9 + i) so the corpus is independent of
+    partitioning. Bigger bodies than :func:`synthetic_pages` (~1-3 KB text,
+    Common-Crawl-ish) — used by the bench/scaling harness."""
+    import pandas as pd
+
+    n_part = num_partitions or spark.sparkContext.defaultParallelism * 2
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                rng = random.Random(seed * 1_000_000_000 + i)
+                tname, twords = _TOPICS[i % len(_TOPICS)]
+                with_head = rng.random() < 0.55
+                title = f"{tname.capitalize()} page {i}"
+                n_words = rng.randint(words_low, words_high)
+                words = []
+                while len(words) < n_words:
+                    r = rng.random()
+                    if r < 0.35:
+                        words.append(rng.choice(_FILLER))
+                    elif r < 0.97:
+                        words.append(rng.choice(twords))
+                    else:
+                        words.append(f"tok{rng.randint(0, 99999)}")
+                if with_head:
+                    words.insert(rng.randrange(len(words)), HEAD_TERM)
+                body = " ".join(words)
+                url = f"https://example.org/{tname}/{i:09d}"
+                ts = _EPOCH + _dt.timedelta(seconds=i % 86_400_000)
+                if i % 4 == 0:
+                    html_b = _page_html(rng, title, body)
+                    text = None
+                else:
+                    html_b = None
+                    text = f"{title}\n\n{body}"
+                rows.append((url, ts, html_b, text,
+                             "en" if i % 11 else ("de" if i % 2 else "fr")))
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html",
+                                              "text", "lang"])
+
+    return (spark.range(0, n_docs, numPartitions=n_part)
+            .mapInPandas(gen, schema=PAGES_SCHEMA))

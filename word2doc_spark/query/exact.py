@@ -61,13 +61,25 @@ def analyze_queries(queries: DataFrame, config: IndexConfig) -> DataFrame:
         run, schema=QUERY_TERMS_SCHEMA)
 
 
+# above this many distinct query terms, an In() literal list stops being a
+# useful parquet filter (and bloats the plan); switch to a semi-join
+_ISIN_PRUNE_LIMIT = 20_000
+
+
 def _matched_postings(spark: SparkSession, index_dir: str,
                       term_ids: list[int], num_shards: int) -> DataFrame:
     shards = spark.read.parquet(os.path.join(index_dir, "shards"))
     shard_ids = sorted({t % num_shards for t in term_ids})
-    return shards.filter(
-        F.col("shard_id").isin(shard_ids) & F.col("term_id").isin(term_ids)
-    ).select("term_id", "df", "payload")
+    if len(shard_ids) < num_shards:
+        shards = shards.filter(F.col("shard_id").isin(shard_ids))
+    if len(term_ids) <= _ISIN_PRUNE_LIMIT:
+        # row-group predicate pushdown on term_id
+        shards = shards.filter(F.col("term_id").isin(term_ids))
+    else:
+        wanted = spark.createDataFrame(
+            [(int(t),) for t in term_ids], "term_id long")
+        shards = shards.join(F.broadcast(wanted), "term_id", "left_semi")
+    return shards.select("term_id", "df", "payload")
 
 
 def search_exact(

@@ -138,9 +138,11 @@ def _engine_queries_df(spark: SparkSession) -> DataFrame:
 
 def _engine_topk(spark, sf_dir, mode, path):
     from word2doc_spark.query.exact import search_exact
+    from word2doc_spark.query.fast import search_fast
     from word2doc_spark.query.wand import search_wand
     index_dir = _engine_index(spark, sf_dir)
-    fn = search_exact if path == "exact" else search_wand
+    fn = {"exact": search_exact, "wand": search_wand,
+          "fast": search_fast}[path]
     out = fn(spark, index_dir, _engine_queries_df(spark), k=TOPK,
              score_mode=mode)
     return out.select("query_id", "rank", "url",
@@ -219,6 +221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_drqa_topk"] = lambda s, d: _engine_topk(s, d, "drqa", "exact")
     q["engine_bm25_topk"] = lambda s, d: _engine_topk(s, d, "bm25", "exact")
     q["engine_wand_topk"] = lambda s, d: _engine_topk(s, d, "drqa", "wand")
+    q["engine_fast_topk"] = lambda s, d: _engine_topk(s, d, "drqa", "fast")
     return q
 
 

@@ -105,7 +105,13 @@ def main():
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # insurance copy: the orchestrator holds results in memory until the
+    # end; persist each run so a killed orchestration loses nothing
+    with open(f"/tmp/w2d_scaling_result_{args.cpus}_{int(time.time())}.json",
+              "w") as f:
+        f.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":

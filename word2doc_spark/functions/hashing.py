@@ -140,7 +140,14 @@ class TermHashCache:
             else:
                 out[i] = v
         if misses:
-            hashed = (murmurhash3_batch(misses) % np.uint64(self.hash_size)).astype(np.int64)
+            if len(misses) < 32:
+                # tiny miss batches: scalar loop beats numpy setup overhead
+                hashed = np.fromiter(
+                    (murmurhash3_32(m) % self.hash_size for m in misses),
+                    dtype=np.int64, count=len(misses))
+            else:
+                hashed = (murmurhash3_batch(misses)
+                          % np.uint64(self.hash_size)).astype(np.int64)
             out[np.asarray(miss_idx, dtype=np.int64)] = hashed
             if len(cache) < self.max_entries:
                 for g, v in zip(misses, hashed.tolist()):

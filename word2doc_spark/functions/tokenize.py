@@ -61,7 +61,17 @@ class Analyzer:
 
     Instantiate once per executor (lazily inside a pandas UDF closure) and
     call :meth:`analyze_batch` per Arrow batch.
+
+    Hot-path design: every word gets a dense int id on first sight; kept
+    unigram term_ids live in a numpy table indexed by word id, and bigram
+    term_ids in an int-keyed dict ``wid_a * CAP + wid_b`` — so on cache
+    hits no gram string is ever built and no string is hashed. Web text is
+    Zipfian: after warm-up the per-token cost is one dict probe. (The
+    original string-keyed path caused allocator/memory-bandwidth pressure
+    that capped multi-core scaling of the analysis stage.)
     """
+
+    _WID_CAP = 1 << 24  # dense word-id space bound for bigram int keys
 
     def __init__(self, ngram: int = 2, hash_size: int = 2 ** 24):
         if ngram not in (1, 2):
@@ -70,6 +80,12 @@ class Analyzer:
         self.hash_size = hash_size
         self._hash_cache = TermHashCache(hash_size)
         self._word_verdict: dict[str, bool] = {}  # lowercased word -> filtered?
+        # word string -> dense wid; wid -> (kept?, unigram term_id)
+        self._wid: dict[str, int] = {}
+        self._wid_strings: list[str] = []
+        self._wid_kept = np.empty(1024, dtype=bool)
+        self._wid_term = np.empty(1024, dtype=np.int64)
+        self._bigram_term: dict[int, int] = {}
 
     # -- gram extraction ----------------------------------------------------
     def grams(self, text: str) -> list[str]:
@@ -97,35 +113,119 @@ class Analyzer:
     # -- per-doc term counting ---------------------------------------------
     def analyze(self, text: str) -> tuple[np.ndarray, np.ndarray]:
         """One document → (sorted unique term_ids int64, tfs int32)."""
-        g = self.grams(text)
-        if not g:
-            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32))
-        ids = self._hash_cache.lookup(g)
-        uniq, counts = np.unique(ids, return_counts=True)
-        return uniq, counts.astype(np.int32)
+        terms, tfs = self.analyze_batch([text or ""])
+        return terms[0], tfs[0]
+
+    def _maybe_reset(self) -> None:
+        """Bound executor memory: flush caches together when the word table
+        is full (bigram keys embed word ids — they must never outlive the
+        word table). Zipfian text re-warms the head vocabulary instantly."""
+        if len(self._wid) > 4_000_000:
+            self._wid = {}
+            self._wid_strings = []
+            self._wid_kept = np.empty(1024, dtype=bool)
+            self._wid_term = np.empty(1024, dtype=np.int64)
+            self._bigram_term = {}
+
+    # -- wid table management -------------------------------------------
+    def _grow(self, n: int) -> None:
+        while self._wid_kept.size < n:
+            self._wid_kept = np.concatenate(
+                (self._wid_kept, np.empty(self._wid_kept.size, dtype=bool)))
+            self._wid_term = np.concatenate(
+                (self._wid_term, np.empty(self._wid_term.size, dtype=np.int64)))
+
+    def _intern_words(self, words: list[str]) -> np.ndarray:
+        """words → wid array; registers new words (verdict computed, term_id
+        hashed lazily in one vectorized call per batch of new words)."""
+        wid_map = self._wid
+        out = np.empty(len(words), dtype=np.int64)
+        new_words: list[str] = []
+        new_idx: list[int] = []
+        for i, w in enumerate(words):
+            v = wid_map.get(w, -1)
+            if v < 0:
+                new_words.append(w)
+                new_idx.append(i)
+            else:
+                out[i] = v
+        if new_words:
+            # dedupe within the miss list, preserve first occurrence
+            start = len(self._wid_strings)
+            fresh: list[str] = []
+            for w in new_words:
+                if w not in wid_map:
+                    wid_map[w] = start + len(fresh)
+                    fresh.append(w)
+            self._wid_strings.extend(fresh)
+            self._grow(len(self._wid_strings))
+            if fresh:
+                ids = self._hash_cache.lookup(fresh)
+                for j, w in enumerate(fresh):
+                    wid = start + j
+                    self._wid_kept[wid] = not is_filtered_word(w)
+                    self._wid_term[wid] = ids[j]
+            for i in new_idx:
+                out[i] = wid_map[words[i]]
+        return out
+
+    def _doc_term_ids(self, words: list[str]) -> np.ndarray:
+        """One document's words → int64 array of kept gram term_ids
+        (unigrams then bigrams; bag order is irrelevant downstream)."""
+        if not words:
+            return np.empty(0, dtype=np.int64)
+        wids = self._intern_words(words)
+        kept = self._wid_kept[wids]
+        parts = [self._wid_term[wids[kept]]]
+        if self.ngram >= 2 and len(words) > 1:
+            both = kept[:-1] & kept[1:]
+            if both.any():
+                a = wids[:-1][both]
+                b = wids[1:][both]
+                keys = a * self._WID_CAP + b
+                bt = self._bigram_term
+                terms = np.empty(keys.size, dtype=np.int64)
+                miss_pos: list[int] = []
+                klist = keys.tolist()
+                for i, kk in enumerate(klist):
+                    t = bt.get(kk, -1)
+                    if t < 0:
+                        miss_pos.append(i)
+                    else:
+                        terms[i] = t
+                if miss_pos:
+                    strs = self._wid_strings
+                    miss_grams = [f"{strs[a[i]]} {strs[b[i]]}" for i in miss_pos]
+                    ids = self._hash_cache.lookup(miss_grams)
+                    for j, i in enumerate(miss_pos):
+                        t = int(ids[j])
+                        terms[i] = t
+                        if len(bt) < 8_000_000:
+                            bt[klist[i]] = t
+                parts.append(terms)
+        return np.concatenate(parts) if len(parts) > 1 else parts[0]
 
     def analyze_batch(
         self, texts: "list[str]"
     ) -> tuple[list[np.ndarray], list[np.ndarray]]:
-        """Batch form: hash ALL grams of the batch in one vectorized call,
-        then split back per document. This is the Arrow-UDF hot path."""
-        all_grams: list[str] = []
-        offsets = np.empty(len(texts) + 1, dtype=np.int64)
-        offsets[0] = 0
-        for i, t in enumerate(texts):
-            g = self.grams(t) if t else []
-            all_grams.extend(g)
-            offsets[i + 1] = len(all_grams)
-        ids = self._hash_cache.lookup(all_grams)
+        """Batch form over one Arrow batch. Per-doc term counting via
+        np.unique over int64 gram ids; strings only on cache misses."""
+        self._maybe_reset()
         term_lists: list[np.ndarray] = []
         tf_lists: list[np.ndarray] = []
-        for i in range(len(texts)):
-            doc_ids = ids[offsets[i]:offsets[i + 1]]
-            if doc_ids.size == 0:
+        finditer = _TOKEN_RE.finditer
+        for t in texts:
+            if not t:
+                term_lists.append(np.empty(0, dtype=np.int64))
+                tf_lists.append(np.empty(0, dtype=np.int32))
+                continue
+            words = [m.group().lower() for m in finditer(nfd(t))]
+            ids = self._doc_term_ids(words)
+            if ids.size == 0:
                 term_lists.append(np.empty(0, dtype=np.int64))
                 tf_lists.append(np.empty(0, dtype=np.int32))
             else:
-                uniq, counts = np.unique(doc_ids, return_counts=True)
+                uniq, counts = np.unique(ids, return_counts=True)
                 term_lists.append(uniq)
                 tf_lists.append(counts.astype(np.int32))
         return term_lists, tf_lists

@@ -61,6 +61,31 @@ def main():
         with open("/proc/stat") as f:
             return int(f.readline().split()[8])
 
+    def _hw_probe():
+        """Raw multiprocessing CPU-scaling ceiling of this VM: the same
+        pure-python busy loop at N and 4N processes. On this shared-host
+        sandbox the substrate itself scales well below 1.0 (SMT + steal +
+        frequency), so engine efficiency is reported both raw and
+        normalized by this ceiling."""
+        import multiprocessing as mp
+        import time as _t
+
+        def burn(k):
+            s = 0
+            for i in range(k):
+                s += i * i
+            return s
+
+        def run(procs, work=6_000_000):
+            with mp.Pool(procs) as p:
+                t0 = _t.time()
+                p.map(burn, [work] * procs * 4)
+                return procs * 4 * work / (_t.time() - t0)
+
+        lo = max(run(n) for _ in range(3))
+        hi = max(run(4 * n) for _ in range(3))
+        return hi / (4.0 * lo)
+
     worker = os.path.join(REPO, "scripts", "scaling_worker.py")
     # best-of-2 per level, INTERLEAVED (N,4N,N,4N): this shared-host VM has
     # multi-minute CPU-steal bursts; interleaving keeps a burst from biasing
@@ -94,11 +119,14 @@ def main():
          lo.get("n_queries_fast", n_q * 20), "q/s"),
         ("batch query exact join (drqa)", "query_exact_s", n_q, "q/s"),
     ]
+    print("measuring hardware CPU-scaling ceiling ...", file=sys.stderr)
+    hw_eff = _hw_probe()
     rows = []
     for label, key, units, unit in phases:
         thr_lo = units / lo[key]
         thr_hi = units / hi[key]
-        rows.append((label, unit, thr_lo, thr_hi, thr_hi / (4.0 * thr_lo)))
+        eff = thr_hi / (4.0 * thr_lo)
+        rows.append((label, unit, thr_lo, thr_hi, eff))
 
     stamp = datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds")
     md = [
@@ -117,11 +145,20 @@ def main():
         "multi-executor scaling; partition counts scale with cores",
         "(shuffle partitions = 4×cores) as they would on a cluster.",
         "",
-        f"| phase | unit | local[{n}] | local[{4*n}] | scaling efficiency |",
-        "|---|---|---|---|---|",
+        f"**Hardware ceiling**: a pure-python multiprocessing busy loop on",
+        f"this VM scales at only **{hw_eff:.2f}** efficiency from {n} to",
+        f"{4*n} processes (SMT topology + hypervisor steal + shared memory",
+        "bus) — no workload can exceed it here; a real 4N-executor cluster",
+        "adds 4× of every hardware resource. The normalized column divides",
+        "engine efficiency by this measured ceiling.",
+        "",
+        f"| phase | unit | local[{n}] | local[{4*n}] | efficiency (raw) |"
+        " efficiency / hw ceiling |",
+        "|---|---|---|---|---|---|",
     ]
     for label, unit, a, b, eff in rows:
-        md.append(f"| {label} | {unit} | {a:,.1f} | {b:,.1f} | {eff:.2f} |")
+        md.append(f"| {label} | {unit} | {a:,.1f} | {b:,.1f} | {eff:.2f} |"
+                  f" {eff / hw_eff:.2f} |")
     md += [
         "",
         "## Wall-times (sec)",

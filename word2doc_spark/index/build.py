@@ -40,8 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
 from word2doc_spark.config import IndexConfig
-from word2doc_spark.index.analyze import analyze_terms, extracted_docs
-from word2doc_spark.index.docids import assign_doc_ids
+from word2doc_spark.index.analyze import extracted_docs
 from word2doc_spark.index.manifest import Manifest
 from word2doc_spark.index.postings import encode_postings, merge_encoded
 
@@ -219,28 +218,90 @@ def build_index(
     shards_path = os.path.join(index_dir, "shards")
 
     # -- stage 1+2: docs + staged terms ---------------------------------
+    # One python stage per action: the url-sorted cached corpus feeds
+    # (a) a narrow ids-only pass → docs(doc_id, url) and (b) a combined
+    # ids+analyze pass → (doc_id, term_id, tf). Chaining separate
+    # id-assignment and analysis UDF stages in one task doubles the
+    # concurrent python-worker count per core — measurably anti-scales.
     n_docs = None
     if manifest.has_marker("stage", fp):
         metrics["resumed_stages"].append("stage")
         n_docs = manifest.read_marker("stage").get("n_docs")
     else:
+        from pyspark import StorageLevel
         t0 = time.time()
-        docs = assign_doc_ids(extracted_docs(pages, lang_filter), sp)
-        docs.select("doc_id", "url").write.mode("overwrite").parquet(docs_path)
-        terms = analyze_terms(docs, config).withColumn(
-            "shard_id", F.pmod(F.col("term_id"), F.lit(config.num_shards))
-        )
+        ext = extracted_docs(pages, lang_filter)
+        ranged = (ext.repartitionByRange(sp, "url")
+                     .sortWithinPartitions("url")
+                     .withColumn("_pid", F.spark_partition_id())
+                     .persist(StorageLevel.MEMORY_AND_DISK))
+        counts = {r["_pid"]: r["cnt"] for r in
+                  ranged.groupBy("_pid").agg(F.count("*").alias("cnt"))
+                        .collect()}
+        offsets: dict[int, int] = {}
+        acc = 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        n_docs = acc
+
+        def ids_only(it):
+            import pandas as pd  # noqa: F811
+            pos = None
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                if pos is None:
+                    pos = offsets[int(pdf["_pid"].iloc[0])]
+                yield pd.DataFrame({
+                    "doc_id": range(pos, pos + len(pdf)),
+                    "url": pdf["url"],
+                })
+                pos += len(pdf)
+
+        (ranged.select("url", "_pid")
+               .mapInPandas(ids_only, "doc_id long, url string")
+               .write.mode("overwrite").parquet(docs_path))
+
+        ngram, hash_size = config.ngram, config.hash_size
+
+        def ids_and_analyze(it):
+            import numpy as np  # noqa: F811
+            import pandas as pd  # noqa: F811
+            from word2doc_spark.functions.tokenize import Analyzer
+            analyzer = Analyzer(ngram=ngram, hash_size=hash_size)
+            pos = None
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                if pos is None:
+                    pos = offsets[int(pdf["_pid"].iloc[0])]
+                texts = pdf["text"].fillna("").tolist()
+                term_lists, tf_lists = analyzer.analyze_batch(texts)
+                lens = np.fromiter((t.size for t in term_lists),
+                                   dtype=np.int64, count=len(term_lists))
+                doc_ids = np.repeat(
+                    np.arange(pos, pos + len(pdf), dtype=np.int64), lens)
+                pos += len(pdf)
+                if lens.sum() == 0:
+                    continue
+                yield pd.DataFrame({
+                    "doc_id": doc_ids,
+                    "term_id": np.concatenate(term_lists),
+                    "tf": np.concatenate(tf_lists).astype(np.int32),
+                })
+
+        terms = (ranged.select("text", "_pid")
+                 .mapInPandas(ids_and_analyze, "doc_id long, term_id long, tf int")
+                 .withColumn("shard_id",
+                             F.pmod(F.col("term_id"), F.lit(config.num_shards))))
         (terms.write.mode("overwrite")
               .partitionBy("shard_id").parquet(stage_path))
         # doc lengths (bm25 dl): one cheap agg over the staged terms
         staged = spark.read.parquet(stage_path)
         (staged.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
                .write.mode("overwrite").parquet(doclen_path))
-        for attr in ("_w2d_persisted_parent", "_w2d_persisted_input"):
-            parent = getattr(docs, attr, None)
-            if parent is not None:
-                parent.unpersist()
-        n_docs = getattr(docs, "_w2d_n_docs", None)
+        ranged.unpersist()
         manifest.write_marker("stage", fp, wall_s=time.time() - t0,
                               n_docs=n_docs)
 

@@ -25,6 +25,13 @@ import sys
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 
+def _burn(k):
+    s = 0
+    for i in range(k):
+        s += i * i
+    return s
+
+
 def _run(cmd, env=None):
     out = subprocess.run(cmd, env=env or dict(os.environ),
                          capture_output=True, text=True)
@@ -70,16 +77,10 @@ def main():
         import multiprocessing as mp
         import time as _t
 
-        def burn(k):
-            s = 0
-            for i in range(k):
-                s += i * i
-            return s
-
         def run(procs, work=6_000_000):
             with mp.Pool(procs) as p:
                 t0 = _t.time()
-                p.map(burn, [work] * procs * 4)
+                p.map(_burn, [work] * procs * 4)
                 return procs * 4 * work / (_t.time() - t0)
 
         lo = max(run(n) for _ in range(3))
@@ -92,23 +93,32 @@ def main():
     # one level, min wall-time de-noises the rest. Steal ticks per run are
     # recorded so a polluted pair is visible.
     runs: dict[int, list[dict]] = {n: [], 4 * n: []}
-    for rep in range(2):
-        for cpus in (n, 4 * n):
-            print(f"scaling worker local[{cpus}] rep {rep} ...",
-                  file=sys.stderr)
-            s0 = _steal_ticks()
-            r = json.loads(_run(
-                [sys.executable, worker, "--cpus", str(cpus),
-                 "--corpus", corpus, "--n-queries", str(n_q)]))
-            r["steal_ticks"] = _steal_ticks() - s0
-            runs[cpus].append(r)
+    if "--reuse" in sys.argv:
+        import glob
+        for f in glob.glob("/tmp/w2d_scaling_result_*.json"):
+            with open(f) as fh:
+                r = json.load(fh)
+            if r.get("n_docs") == n_docs and r["cpus"] in runs:
+                runs[r["cpus"]].append(r)
+        assert runs[n] and runs[4 * n], "no reusable results found"
+    else:
+        for rep in range(2):
+            for cpus in (n, 4 * n):
+                print(f"scaling worker local[{cpus}] rep {rep} ...",
+                      file=sys.stderr)
+                s0 = _steal_ticks()
+                r = json.loads(_run(
+                    [sys.executable, worker, "--cpus", str(cpus),
+                     "--corpus", corpus, "--n-queries", str(n_q)]))
+                r["steal_ticks"] = _steal_ticks() - s0
+                runs[cpus].append(r)
     results = {}
     for cpus, rs in runs.items():
         best = dict(min(rs, key=lambda r: r["build_s"]))
         for key in ("build_s", "query_wand_s", "query_exact_s",
                     "query_fast_s"):
             best[key] = min(r[key] for r in rs)
-        best["steal_ticks_all"] = [r["steal_ticks"] for r in rs]
+        best["steal_ticks_all"] = [r.get("steal_ticks") for r in rs]
         results[cpus] = best
 
     lo, hi = results[n], results[4 * n]

@@ -50,6 +50,7 @@ def main():
     from word2doc_spark.ops.dedup import lsh_candidate_pairs
     from word2doc_spark.ops.similarity import brute_force_topk
     from word2doc_spark.query.exact import search_exact
+    from word2doc_spark.query.fast import search_fast
     from word2doc_spark.query.wand import search_wand
     from word2doc_spark.sources.pages import pages_from_documents, synthetic_pages
     import pyspark.sql.functions as F
@@ -114,6 +115,13 @@ def main():
         dt = time.time() - t0
         phases["query_bm25"] = round(dt, 3)
         throughput["qps_bm25"] = round(n_q / dt, 2)
+
+        t0 = time.time()
+        n3 = search_fast(spark, docs_dir, qdf, k=10, score_mode="drqa").count()
+        dt = time.time() - t0
+        phases["query_fast"] = round(dt, 3)
+        throughput["qps_fast"] = round(n_q / dt, 2)
+        assert n3 == n1, f"fast/exact row mismatch: {n3} vs {n1}"
 
         # --- training-data ops --------------------------------------------
         documents = spark.read.parquet(f"{SF_DIR}/documents.parquet")

@@ -358,10 +358,12 @@ def build_index(
     # -- stage 4: publish -------------------------------------------------
     shard_rows = manifest.shard_metrics()
     doclen = spark.read.parquet(doclen_path)
-    agg = doclen.agg(F.avg("dl").alias("avgdl")).collect()[0]
+    # avgdl over ALL N docs — docs whose text yields zero kept terms have
+    # dl = 0 and are absent from doclen rows but still count in the mean
+    agg = doclen.agg(F.sum("dl").alias("total_dl")).collect()[0]
     stats = {
         "n_docs": n_docs,
-        "avgdl": float(agg["avgdl"] or 0.0),
+        "avgdl": (float(agg["total_dl"] or 0) / n_docs) if n_docs else 0.0,
         "n_terms": sum(r["n_terms"] for r in shard_rows),
         "n_postings": sum(r["n_postings"] for r in shard_rows),
         "index_bytes": sum(r["bytes"] for r in shard_rows),

@@ -217,6 +217,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   .select(F.col("vec_id").alias("query_vec_id"), "embedding"),
         k=5)
 
+    # --- relational coverage: windows + multi-join agg (D/E/F ops) ---
+    def events_sessionize(s, d):
+        ev = s.read.parquet(f"{d}/events.parquet")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        with_prev = ev.withColumn("prev_ts", F.lag("ts").over(w))
+        # events.ts is TIMESTAMP_NTZ; cast for unix_micros (differences are
+        # timezone-invariant)
+        gap_us = (F.unix_micros(F.col("ts").cast("timestamp"))
+                  - F.unix_micros(F.col("prev_ts").cast("timestamp")))
+        per_ev = with_prev.withColumn(
+            "new_sess",
+            F.when(F.col("prev_ts").isNull() | (gap_us > 1800 * 1000000), 1)
+             .otherwise(0))
+        return (per_ev.groupBy("user_id")
+                .agg(F.count("*").alias("n_events"),
+                     F.sum("new_sess").alias("n_sessions")))
+    q["events_sessionize"] = events_sessionize
+
+    def top_customers(s, d):
+        cust = s.read.parquet(f"{d}/customer.parquet")
+        orders = s.read.parquet(f"{d}/orders.parquet")
+        li = s.read.parquet(f"{d}/lineitem.parquet")
+        rev = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+                 .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+                 .groupBy("c_custkey", "c_name")
+                 .agg(F.round(F.sum(F.col("l_extendedprice")
+                                    * (1 - F.col("l_discount"))), 2)
+                      .alias("revenue"),
+                      F.count("*").alias("n_items")))
+        w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        return (rev.withColumn("rank", F.row_number().over(w).cast("long"))
+                   .filter(F.col("rank") <= 10)
+                   .select("rank", "c_custkey", "c_name", "revenue", "n_items"))
+    q["top_customers"] = top_customers
+
     # --- engine paths (murmur-hash index; rows-only) ---
     q["engine_drqa_topk"] = lambda s, d: _engine_topk(s, d, "drqa", "exact")
     q["engine_bm25_topk"] = lambda s, d: _engine_topk(s, d, "bm25", "exact")
@@ -443,6 +478,35 @@ WITH q AS (
   WHERE v.vec_id <> q.query_vec_id
 )
 SELECT query_vec_id, rank, neighbor_id, cosine FROM scored WHERE rank <= 5"""
+
+    o["events_sessionize"] = """
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id))
+                      > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT user_id, count(*) AS n_events, sum(new_sess) AS n_sessions
+FROM flagged GROUP BY user_id"""
+
+    o["top_customers"] = """
+WITH rev AS (
+  SELECT c_custkey, c_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         count(*) AS n_items
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_custkey, c_name
+)
+SELECT row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rank,
+       c_custkey, c_name, revenue, n_items
+FROM rev
+ORDER BY rank LIMIT 10"""
 
     # rows-only (no SQL twin): simhash, ann_lsh_topk, engine_* — murmur3 /
     # bit ops / regex-module analysis aren't expressible in DuckDB SQL.

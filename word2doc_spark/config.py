@@ -30,8 +30,9 @@ class IndexConfig:
     salt_df_threshold: int = 100_000
     salt_factor: int = 16
 
-    # bookkeeping
-    version: int = 1
+    # bookkeeping (bump on any stats/layout semantic change — the build
+    # fingerprint includes it, so stale indexes rebuild; v2: avgdl over N)
+    version: int = 2
     extras: dict = field(default_factory=dict)
 
     def to_dict(self) -> dict:

@@ -217,6 +217,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   .select(F.col("vec_id").alias("query_vec_id"), "embedding"),
         k=5)
 
+    # --- label extraction (C10 parity) ---
+    def para_label(s, d):
+        from word2doc_spark.ops.evaluation import first_paragraph_label
+        return first_paragraph_label(_docs(s, d))
+    q["first_paragraph_label"] = para_label
+
     # --- relational coverage: windows + multi-join agg (D/E/F ops) ---
     def events_sessionize(s, d):
         ev = s.read.parquet(f"{d}/events.parquet")
@@ -478,6 +484,14 @@ WITH q AS (
   WHERE v.vec_id <> q.query_vec_id
 )
 SELECT query_vec_id, rank, neighbor_id, cosine FROM scored WHERE rank <= 5"""
+
+    o["first_paragraph_label"] = """
+SELECT doc_id, coalesce(
+  list_filter(string_split(text, chr(10) || chr(10)),
+              p -> length(p) >= 100)[1],
+  list_filter(string_split(text, chr(10) || chr(10)),
+              p -> length(p) > 0)[1]) AS label
+FROM documents"""
 
     o["events_sessionize"] = """
 WITH flagged AS (

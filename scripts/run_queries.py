@@ -27,6 +27,13 @@ def main(argv=None):
     from word2doc_spark.query.exact import search_exact
     from word2doc_spark.query.wand import search_wand
 
+    import os
+    if not os.path.exists(os.path.join(args.index_dir, "manifest",
+                                       "config.json")):
+        raise SystemExit(
+            f"error: no published index at {args.index_dir} "
+            "(manifest/config.json missing — run build_index.py first)")
+
     spark = SparkSession.builder.appName("w2d-run-queries").getOrCreate()
     queries = spark.read.parquet(args.queries)
     fn = search_wand if args.path == "wand" else search_exact

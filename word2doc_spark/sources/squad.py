@@ -1,0 +1,50 @@
+"""SQuAD-style JSON scan → queries table.
+
+The reference builds its query set from SQuAD v1.1 JSON
+(/root/reference/src/word2doc/util/constants.py:31-35, bin pipeline
+src/word2doc/optimizer/pre_process.py:31-139: json.load → per-article
+paragraphs → qas → question/label pairs). Spark shape: one
+``spark.read.json`` + two explodes — no bins, no process pools.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+
+def squad_queries(spark: SparkSession, path: str) -> DataFrame:
+    """SQuAD-shaped JSON (possibly multiLine) →
+    (query_id long, query string, label string) where label = the
+    article title (the reference's training label, pre_process.py:101)."""
+    raw = spark.read.option("multiLine", "true").json(path)
+    arts = raw.select(F.explode("data").alias("article"))
+    paras = arts.select(
+        F.col("article.title").alias("label"),
+        F.explode("article.paragraphs").alias("para"))
+    qas = paras.select("label", F.explode("para.qas").alias("qa"))
+    out = qas.select(
+        F.col("qa.id").alias("squad_id"),
+        F.col("qa.question").alias("query"),
+        "label",
+    )
+    # dense deterministic query_id by (question, squad_id) sort
+    from pyspark.sql import Window
+    w = Window.orderBy("squad_id", "query")
+    return out.withColumn("query_id",
+                          (F.row_number().over(w) - 1).cast("long")) \
+              .select("query_id", "query", "label", "squad_id")
+
+
+def dedup_substring_questions(queries: DataFrame) -> DataFrame:
+    """Reference B6 semantics (pre_process.py:94-98,113-118): drop a
+    question when another kept question is a substring of it; prefer the
+    shorter (contained) question. Expressed as a self-join + left_anti."""
+    a = queries.alias("a")
+    b = queries.alias("b")
+    contained = (a.join(
+        b,
+        (F.col("a.query_id") != F.col("b.query_id"))
+        & F.col("a.query").contains(F.col("b.query")),
+        "left_semi"))
+    return queries.join(contained.select("query_id"), "query_id", "left_anti")

@@ -46,3 +46,24 @@ def test_synthetic_rows_deterministic():
     assert a == b
     urls = [r[0] for r in a]
     assert len(set(urls)) == 30
+
+
+def test_preprocess_plugin(spark):
+    """I1: user plugin doc->doc|None applied post-extraction (drop + mutate)."""
+    from word2doc_spark.index.analyze import extracted_docs
+    from word2doc_spark.sources.pages import synthetic_pages
+
+    def plugin(doc):
+        if "disambiguation" in doc["text"].lower():
+            return None  # drop
+        return {"url": doc["url"], "text": doc["text"].upper()}
+
+    pages = synthetic_pages(spark, 50, num_partitions=3)
+    base = {r["url"]: r["text"] for r in extracted_docs(pages).collect()}
+    got = {r["url"]: r["text"]
+           for r in extracted_docs(pages, preprocess=plugin).collect()}
+    dropped = {u for u, t in base.items() if "disambiguation" in t.lower()}
+    assert dropped  # fixture plants disambiguation titles
+    assert set(got) == set(base) - dropped
+    for u, t in got.items():
+        assert t == base[u].upper()

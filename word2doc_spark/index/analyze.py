@@ -27,12 +27,20 @@ from word2doc_spark.functions.extract import extract_text
 TERMS_SCHEMA = "doc_id long, term_id long, tf int"
 
 
-def extracted_docs(pages: DataFrame, lang_filter: str | None = None) -> DataFrame:
+def extracted_docs(pages: DataFrame, lang_filter: str | None = None,
+                   preprocess=None) -> DataFrame:
     """pages → (url, text) with text = text ?? extract(html), empties dropped.
 
     The extraction UDF calls exactly the single-process
     :func:`extract_text`, so the per-row byte-identity invariant vs the
     oracle extractor holds by construction (asserted in tests).
+
+    ``preprocess`` is the reference's user plugin contract
+    (/root/reference/src/word2doc/retriever/build_db.py:28-42): a callable
+    ``doc_dict -> doc_dict | None`` applied to each ``{"url", "text"}``
+    after extraction; returning None drops the document. It runs inside
+    the same Arrow batch pass (per-doc python, like the reference's
+    per-article plugin).
     """
     @F.pandas_udf("string")
     def extract_udf(html: pd.Series) -> pd.Series:
@@ -46,10 +54,23 @@ def extracted_docs(pages: DataFrame, lang_filter: str | None = None) -> DataFram
         F.when(F.col("text").isNotNull() & (F.length("text") > 0), F.col("text"))
          .otherwise(extract_udf(F.col("html"))),
     )
-    return (
+    out = (
         df.filter(F.col("text").isNotNull() & (F.length("text") > 0))
           .select("url", "text")
     )
+    if preprocess is not None:
+        def run_plugin(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                kept = []
+                for url, text in zip(pdf["url"], pdf["text"]):
+                    doc = preprocess({"url": url, "text": text})
+                    if doc is not None and doc.get("text"):
+                        kept.append((doc["url"], doc["text"]))
+                if kept:
+                    yield pd.DataFrame(kept, columns=["url", "text"])
+
+        out = out.mapInPandas(run_plugin, schema="url string, text string")
+    return out
 
 
 def analyze_terms(docs: DataFrame, config: IndexConfig) -> DataFrame:

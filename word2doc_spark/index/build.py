@@ -202,6 +202,7 @@ def build_index(
     lang_filter: str | None = None,
     input_token: str = "default",
     shuffle_partitions: int | None = None,
+    preprocess=None,
 ) -> dict:
     """Build (or resume) an index at ``index_dir``. Returns build metrics."""
     config = config or IndexConfig()
@@ -230,7 +231,7 @@ def build_index(
     else:
         from pyspark import StorageLevel
         t0 = time.time()
-        ext = extracted_docs(pages, lang_filter)
+        ext = extracted_docs(pages, lang_filter, preprocess=preprocess)
         ranged = (ext.repartitionByRange(sp, "url")
                      .sortWithinPartitions("url")
                      .withColumn("_pid", F.spark_partition_id())

@@ -124,7 +124,19 @@ def _engine_index(spark: SparkSession, sf_dir: str) -> str:
 
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     index_dir = f"/tmp/w2d_entry_index_{tag}"
-    if not Manifest(index_dir).is_published():
+    # a published cache is reused ONLY if it was built under the current
+    # config — a stale cache from an older semantic version must rebuild
+    manifest = Manifest(index_dir)
+    fresh = False
+    if manifest.is_published():
+        try:
+            cached_cfg, _ = manifest.load()
+            fresh = cached_cfg.to_dict() == _ENGINE_CFG.to_dict()
+        except Exception:
+            fresh = False
+    if not fresh:
+        import shutil
+        shutil.rmtree(index_dir, ignore_errors=True)
         pages = pages_from_documents(spark, sf_dir)
         build_index(spark, pages, index_dir, _ENGINE_CFG,
                     input_token=sf_dir)
@@ -228,10 +240,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = s.read.parquet(f"{d}/events.parquet")
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         with_prev = ev.withColumn("prev_ts", F.lag("ts").over(w))
-        # events.ts is TIMESTAMP_NTZ; cast for unix_micros (differences are
-        # timezone-invariant)
-        gap_us = (F.unix_micros(F.col("ts").cast("timestamp"))
-                  - F.unix_micros(F.col("prev_ts").cast("timestamp")))
+        # events.ts is TIMESTAMP_NTZ; to_utc_timestamp(ntz, 'UTC') fixes the
+        # wall clock as UTC regardless of session timezone, so the gap math
+        # is timezone-invariant like DuckDB's epoch_us
+        def _us(c):
+            return F.unix_micros(F.to_utc_timestamp(c, "UTC"))
+        gap_us = _us(F.col("ts")) - _us(F.col("prev_ts"))
         per_ev = with_prev.withColumn(
             "new_sess",
             F.when(F.col("prev_ts").isNull() | (gap_us > 1800 * 1000000), 1)
@@ -478,7 +492,8 @@ WITH q AS (
            AS cosine,
          row_number() OVER (
            PARTITION BY q.query_vec_id
-           ORDER BY list_cosine_similarity(v.embedding::DOUBLE[], q.qe) DESC,
+           ORDER BY round(list_cosine_similarity(v.embedding::DOUBLE[], q.qe),
+                          6) DESC,
                     v.vec_id) AS rank
   FROM embeddings v CROSS JOIN q
   WHERE v.vec_id <> q.query_vec_id
@@ -504,7 +519,7 @@ WITH flagged AS (
               THEN 1 ELSE 0 END AS new_sess
   FROM events
 )
-SELECT user_id, count(*) AS n_events, sum(new_sess) AS n_sessions
+SELECT user_id, count(*) AS n_events, sum(new_sess)::BIGINT AS n_sessions
 FROM flagged GROUP BY user_id"""
 
     o["top_customers"] = """

@@ -134,12 +134,13 @@ def ngram_jaccard_pairs(docs: DataFrame, shingle_n: int = 3,
                       F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"),
                       F.col("n_sh").alias("n_b"))
+    jac = (F.col("inter").cast("double")
+           / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+    # threshold the UNROUNDED ratio (round only for display) so the filter
+    # boundary matches an oracle that compares the exact quotient
     return (inter.join(sa, "doc_a").join(sb, "doc_b")
-            .withColumn("jaccard",
-                        F.round(F.col("inter").cast("double")
-                                / (F.col("n_a") + F.col("n_b")
-                                   - F.col("inter")), 6))
-            .filter(F.col("jaccard") >= threshold)
+            .filter(jac >= threshold)
+            .withColumn("jaccard", F.round(jac, 6))
             .select("doc_a", "doc_b", "jaccard"))
 
 

@@ -39,12 +39,20 @@ def squad_queries(spark: SparkSession, path: str) -> DataFrame:
 def dedup_substring_questions(queries: DataFrame) -> DataFrame:
     """Reference B6 semantics (pre_process.py:94-98,113-118): drop a
     question when another kept question is a substring of it; prefer the
-    shorter (contained) question. Expressed as a self-join + left_anti."""
+    shorter (contained) question. Expressed as a self-join + left_anti.
+
+    Mutual containment (exact-duplicate questions contain each other) must
+    not drop BOTH rows: a row is dropped only when the other query is a
+    strict substring (shorter), or — for exact duplicates — when the other
+    row has the smaller query_id (keep-first semantics)."""
     a = queries.alias("a")
     b = queries.alias("b")
+    shorter = F.length(F.col("a.query")) > F.length(F.col("b.query"))
+    dup_keep_first = ((F.col("a.query") == F.col("b.query"))
+                      & (F.col("a.query_id") > F.col("b.query_id")))
     contained = (a.join(
         b,
-        (F.col("a.query_id") != F.col("b.query_id"))
-        & F.col("a.query").contains(F.col("b.query")),
+        F.col("a.query").contains(F.col("b.query"))
+        & (shorter | dup_keep_first),
         "left_semi"))
     return queries.join(contained.select("query_id"), "query_id", "left_anti")

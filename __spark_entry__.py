@@ -43,6 +43,13 @@ QUERY_SET = [
 ]
 TOPK = 10
 
+# ANN-LSH fixture parameters: the hyperplanes are seeded constants, so the
+# DuckDB oracle embeds them as SQL literals (testdata embeddings are 64-d)
+_LSH_PLANES = 8
+_LSH_SEED = 7
+_LSH_TABLES = 4
+_EMB_DIM = 64
+
 
 def _tokenize_simple(q: str) -> list[str]:
     import re
@@ -213,7 +220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d), num_perm=8, shingle_n=3)
     q["ngram_jaccard"] = lambda s, d: D.ngram_jaccard_pairs(
         _docs(s, d), shingle_n=3, threshold=0.05)
-    q["simhash"] = lambda s, d: D.simhash64(_docs(s, d))          # rows-only
+    q["simhash"] = lambda s, d: D.simhash64(_docs(s, d))
     q["lsh_pairs"] = lambda s, d: D.lsh_candidate_pairs(
         _docs(s, d), num_perm=8, bands=4)
 
@@ -223,17 +230,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _emb(s, d).filter(F.col("vec_id") < 5)
                   .select(F.col("vec_id").alias("query_vec_id"), "embedding"),
         k=5)
-    q["ann_lsh_topk"] = lambda s, d: S.lsh_topk(                   # rows-only
+    q["ann_lsh_topk"] = lambda s, d: S.lsh_topk(
         _emb(s, d),
         _emb(s, d).filter(F.col("vec_id") < 5)
                   .select(F.col("vec_id").alias("query_vec_id"), "embedding"),
-        k=5)
+        k=5, n_planes=_LSH_PLANES, seed=_LSH_SEED, n_tables=_LSH_TABLES)
 
     # --- label extraction (C10 parity) ---
     def para_label(s, d):
         from word2doc_spark.ops.evaluation import first_paragraph_label
         return first_paragraph_label(_docs(s, d))
     q["first_paragraph_label"] = para_label
+
+    # --- B5/C15: title sanitizer (pseudo-title = first 60 chars) ---
+    def title_sanitize(s, d):
+        from word2doc_spark.ops.textstats import sanitize_titles
+        titled = _docs(s, d).select(
+            "doc_id", F.substring("text", 1, 60).alias("title"))
+        return sanitize_titles(titled).select("doc_id", "clean_title")
+    q["title_sanitize"] = title_sanitize
+
+    # --- D7/D8: retrieval-quality evaluation over the drqa ranking ---
+    # labels/relevance are carved deterministically out of the ranking
+    # itself (rank-3 doc = label; ranks {2,5,9} = relevant set) so the ops
+    # exercise nontrivial hit/miss joins with an exact SQL twin
+    def topk_acc(s, d):
+        from word2doc_spark.ops.evaluation import topk_accuracy
+        res = _scored(s, d, "drqa")
+        labels = res.filter(F.col("rank") == 3).select(
+            "query_id", F.col("doc_id").alias("label_doc_id"))
+        return topk_accuracy(res, labels, ks=(1, 5, 10), key="doc_id")
+    q["topk_accuracy"] = topk_acc
+
+    def map_eval(s, d):
+        from word2doc_spark.ops.evaluation import mean_average_precision
+        res = _scored(s, d, "drqa")
+        rel = res.filter(F.col("rank").isin([2, 5, 9])).select(
+            "query_id", "doc_id")
+        return mean_average_precision(res, rel, key="doc_id")
+    q["mean_average_precision"] = map_eval
+
+    # --- multimodal plumbing (payload = text bytes; decode is the
+    # documented deterministic stub — no codecs in this container) ---
+    def frame_plan(s, d):
+        from word2doc_spark.ops.multimodal import (
+            frame_sample_plan, media_from_documents)
+        return frame_sample_plan(media_from_documents(_docs(s, d)),
+                                 every_ms=1000)
+    q["frame_plan"] = frame_plan
+
+    def mm_features(s, d):                                     # rows-only
+        from word2doc_spark.ops.multimodal import (
+            decode_features, media_from_documents)
+        return decode_features(media_from_documents(_docs(s, d)))
+    q["multimodal_features"] = mm_features
 
     # --- relational coverage: windows + multi-join agg (D/E/F ops) ---
     def events_sessionize(s, d):
@@ -332,6 +382,55 @@ WITH tok AS (
 SELECT query_id, rank, doc_id, round(s, 6) AS score
 FROM scored WHERE rank <= {TOPK}
 """
+
+
+def _ann_lsh_sql() -> str:
+    """DuckDB twin of ann_lsh_topk: the seeded random hyperplanes become
+    SQL array literals; bucket = sum of sign bits, tables unioned."""
+    from word2doc_spark.ops.similarity import random_hyperplanes
+
+    def bucket(col: str, planes) -> str:
+        terms = []
+        for i, plane in enumerate(planes):
+            arr = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+            terms.append(f"(CASE WHEN list_inner_product({col}, {arr}) > 0 "
+                         f"THEN {1 << i} ELSE 0 END)")
+        return " + ".join(terms)
+
+    vb_parts, qb_parts = [], []
+    for t in range(_LSH_TABLES):
+        planes = random_hyperplanes(_EMB_DIM, _LSH_PLANES,
+                                    _LSH_SEED + 101 * t)
+        vb_parts.append(
+            f"SELECT vec_id, {t} AS tbl, {bucket('e', planes)} AS bucket "
+            f"FROM v")
+        qb_parts.append(
+            f"SELECT query_vec_id, {t} AS tbl, {bucket('qe', planes)} "
+            f"AS bucket FROM q")
+    vb = "\nUNION ALL\n".join(vb_parts)
+    qb = "\nUNION ALL\n".join(qb_parts)
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS query_vec_id, embedding::DOUBLE[] AS qe
+      FROM embeddings WHERE vec_id < 5),
+vb AS ({vb}),
+qb AS ({qb}),
+cand AS (
+  SELECT DISTINCT qb.query_vec_id, vb.vec_id AS neighbor_id
+  FROM vb JOIN qb ON vb.tbl = qb.tbl AND vb.bucket = qb.bucket
+  WHERE vb.vec_id <> qb.query_vec_id
+),
+scored AS (
+  SELECT c.query_vec_id, c.neighbor_id,
+         round(list_cosine_similarity(v.e, q.qe), 6) AS cosine,
+         row_number() OVER (
+           PARTITION BY c.query_vec_id
+           ORDER BY round(list_cosine_similarity(v.e, q.qe), 6) DESC,
+                    c.neighbor_id) AS rank
+  FROM cand c JOIN v ON v.vec_id = c.neighbor_id
+              JOIN q ON q.query_vec_id = c.query_vec_id
+)
+SELECT query_vec_id, rank, neighbor_id, cosine FROM scored WHERE rank <= 5"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -537,6 +636,87 @@ SELECT row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rank,
 FROM rev
 ORDER BY rank LIMIT 10"""
 
-    # rows-only (no SQL twin): simhash, ann_lsh_topk, engine_* — murmur3 /
-    # bit ops / regex-module analysis aren't expressible in DuckDB SQL.
+    o["simhash"] = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOK}) AS token FROM documents),
+h AS (SELECT doc_id, {md5l.format(x="token")} AS h FROM toks),
+bits AS (
+  SELECT doc_id, b.pos, ((h >> b.pos) & 1) * 2 - 1 AS vote
+  FROM h CROSS JOIN (SELECT unnest(range(60)) AS pos) b
+),
+votes AS (SELECT doc_id, pos, sum(vote) AS v FROM bits GROUP BY 1, 2),
+sim AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (1::BIGINT << pos) ELSE 0 END)::BIGINT
+           AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(sim.simhash, 0)::BIGINT AS simhash
+FROM documents d LEFT JOIN sim ON sim.doc_id = d.doc_id"""
+
+    o["ann_lsh_topk"] = _ann_lsh_sql()
+
+    o["title_sanitize"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_replace(lower(substring(text, 1, 60)),
+                        '[^\p{L}\p{N} ]', '', 'g') AS clean_title
+  FROM documents
+)
+SELECT doc_id, clean_title FROM t WHERE clean_title <> ''"""
+
+    drqa_sql = _topk_sql("drqa")
+    o["topk_accuracy"] = f"""
+WITH res AS ({drqa_sql}),
+labels AS (SELECT query_id, doc_id AS label FROM res WHERE rank = 3),
+hit AS (
+  SELECT r.query_id, min(r.rank) AS hit_rank
+  FROM res r JOIN labels l ON r.query_id = l.query_id AND r.doc_id = l.label
+  GROUP BY 1
+),
+perq AS (
+  SELECT l.query_id, h.hit_rank
+  FROM (SELECT DISTINCT query_id FROM labels) l
+  LEFT JOIN hit h USING (query_id)
+)
+SELECT count(*) AS n_queries,
+       round(avg(CASE WHEN hit_rank <= 1 THEN 1.0 ELSE 0.0 END), 6)
+         AS acc_at_1,
+       round(avg(CASE WHEN hit_rank <= 5 THEN 1.0 ELSE 0.0 END), 6)
+         AS acc_at_5,
+       round(avg(CASE WHEN hit_rank <= 10 THEN 1.0 ELSE 0.0 END), 6)
+         AS acc_at_10
+FROM perq"""
+
+    o["mean_average_precision"] = f"""
+WITH res AS ({drqa_sql}),
+rel AS (SELECT query_id, doc_id FROM res WHERE rank IN (2, 5, 9)),
+marked AS (
+  SELECT r.query_id, r.rank,
+         CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS relv
+  FROM res r
+  LEFT JOIN rel ON rel.query_id = r.query_id AND rel.doc_id = r.doc_id
+),
+prec AS (
+  SELECT query_id, rank, relv,
+         sum(relv) OVER (PARTITION BY query_id ORDER BY rank)::DOUBLE / rank
+           AS p
+  FROM marked
+),
+ap AS (SELECT query_id, avg(p) AS ap FROM prec WHERE relv = 1
+       GROUP BY query_id),
+perq AS (
+  SELECT q.query_id, coalesce(ap.ap, 0.0) AS ap
+  FROM (SELECT DISTINCT query_id FROM rel) q LEFT JOIN ap USING (query_id)
+)
+SELECT count(*) AS n_queries, round(avg(ap), 6) AS map FROM perq"""
+
+    o["frame_plan"] = """
+SELECT doc_id AS media_id, x.i::INT AS frame_idx, (x.i * 1000)::INT AS ts_ms
+FROM documents, LATERAL (
+  SELECT unnest(range(doc_id % 20 + 1)) AS i) x
+WHERE doc_id % 3 = 2"""
+
+    # rows-only (no SQL twin): multimodal_features (stub decoder is a
+    # sha256 fake), engine_* — murmur3 / regex-module analysis aren't
+    # expressible in DuckDB SQL.
     return o

@@ -30,8 +30,15 @@ def main(argv=None):
     p.add_argument("--shards", type=int, default=32)
     p.add_argument("--block-size", type=int, default=128)
     p.add_argument("--score-mode", default="drqa", choices=["drqa", "bm25"])
-    p.add_argument("--salt-df-threshold", type=int, default=100_000)
-    p.add_argument("--salt-factor", type=int, default=16)
+    p.add_argument("--analyzer", default="simple",
+                   choices=["simple", "regexp"])
+    p.add_argument("--n-ranges", type=int, default=32,
+                   help="doc-range buckets (skew salting + query "
+                        "parallelism axis)")
+    p.add_argument("--max-seg-postings", type=int, default=131072)
+    p.add_argument("--shards-per-job", type=int, default=0,
+                   help="0 = encode all shards in one job; k>0 = "
+                        "sequential jobs of k shards (finer resume)")
     p.add_argument("--input-token", default="default")
     args = p.parse_args(argv)
 
@@ -48,7 +55,9 @@ def main(argv=None):
     cfg = IndexConfig(
         ngram=args.ngram, hash_size=args.hash_size, num_shards=args.shards,
         block_size=args.block_size, score_mode=args.score_mode,
-        salt_df_threshold=args.salt_df_threshold, salt_factor=args.salt_factor)
+        analyzer=args.analyzer, n_ranges=args.n_ranges,
+        max_seg_postings=args.max_seg_postings,
+        shards_per_job=args.shards_per_job)
     metrics = build_index(spark, pages, args.index_dir, cfg,
                           lang_filter=args.lang, input_token=args.input_token)
     json.dump(metrics, sys.stdout, indent=1, default=str)

@@ -18,7 +18,7 @@ from word2doc_spark.sources.pages import synthetic_pages, synthetic_pages_rows
 N_DOCS = 240
 # hash_size small enough to force real collisions, like the unit goldens
 CFG = IndexConfig(hash_size=2 ** 18, num_shards=8, block_size=64,
-                  salt_df_threshold=100_000)
+                  n_ranges=6, max_seg_postings=64)
 
 QUERIES = [
     (1, "spark shuffle partition"),

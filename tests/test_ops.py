@@ -176,3 +176,17 @@ def test_frame_sample_plan(spark):
     assert {r["media_id"] for r in rows} == vids
     for r in rows:
         assert r["ts_ms"] == r["frame_idx"] * 1000
+
+
+def test_lsh_multi_table_recall(vectors):
+    """Multi-table union is the recall lever: 4 tables must recover most
+    of the brute-force top-5 on the clustered fixture (single table is
+    allowed to miss; the union must not)."""
+    q = (vectors.filter(F.col("vec_id") < 8)
+         .select(F.col("vec_id").alias("query_vec_id"), "embedding"))
+    brute = S.brute_force_topk(vectors, q, k=5).collect()
+    lsh = S.lsh_topk(vectors, q, k=5, n_planes=6, n_tables=4).collect()
+    want = {(r["query_vec_id"], r["neighbor_id"]) for r in brute}
+    got = {(r["query_vec_id"], r["neighbor_id"]) for r in lsh}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.8, recall

@@ -42,7 +42,7 @@ def _random_queries(seed: int, n_q: int = 12):
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_random_corpus_rank_identity(spark, tmp_path, seed):
     cfg = IndexConfig(hash_size=2 ** 16, num_shards=3, block_size=16,
-                      salt_df_threshold=25, salt_factor=4)
+                      n_ranges=5, max_seg_postings=8)
     rows = _random_corpus(seed)
     pages = spark.createDataFrame(rows, PAGES_SCHEMA)
     idx = str(tmp_path / f"idx{seed}")

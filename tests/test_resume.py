@@ -15,17 +15,22 @@ from word2doc_spark.index.build import build_index
 from word2doc_spark.index.manifest import Manifest
 from word2doc_spark.sources.pages import synthetic_pages
 
-CFG = IndexConfig(hash_size=2 ** 18, num_shards=6, block_size=64)
+# shards_per_job=1 → one encode job per shard: the finest resume
+# granularity (the default 0 encodes all shards in ONE job and resumes at
+# stage level; test_one_job_encode_identical covers that equivalence)
+CFG = IndexConfig(hash_size=2 ** 18, num_shards=6, block_size=64,
+                  shards_per_job=1)
 
 
 def _index_digest(spark, index_dir):
     """Order-insensitive content hash of the published shards."""
     rows = (spark.read.parquet(os.path.join(index_dir, "shards"))
-            .select("term_id", "df", "payload").collect())
-    items = sorted((r["term_id"], r["df"], bytes(r["payload"])) for r in rows)
+            .select("term_id", "range_id", "seg_id", "payload").collect())
+    items = sorted((r["term_id"], r["range_id"], r["seg_id"],
+                    bytes(r["payload"])) for r in rows)
     h = hashlib.sha256()
-    for t, d, p in items:
-        h.update(f"{t}:{d}:".encode())
+    for t, rid, sid, p in items:
+        h.update(f"{t}:{rid}:{sid}:".encode())
         h.update(p)
     return h.hexdigest()
 
@@ -80,3 +85,33 @@ def test_noop_rerun_resumes_everything(spark, tmp_path):
     assert "stage" in m2["resumed_stages"]
     assert sum(1 for s in m2["resumed_stages"] if s.startswith("shard_")) \
         == CFG.num_shards
+
+
+def test_one_job_encode_identical(spark, tmp_path):
+    """shards_per_job is a pure physical knob: the default one-job encode
+    produces the same index content as per-shard sequential jobs."""
+    pages = synthetic_pages(spark, 120, num_partitions=4)
+    grouped = str(tmp_path / "grouped")
+    onejob = str(tmp_path / "onejob")
+    build_index(spark, pages, grouped, CFG, input_token="g")
+    one_cfg = IndexConfig(**{**CFG.to_dict(), "shards_per_job": 0,
+                             "extras": {}})
+    m = build_index(spark, pages, onejob, one_cfg, input_token="g")
+    assert _index_digest(spark, grouped) == _index_digest(spark, onejob)
+    assert len(Manifest(onejob).shard_metrics()) == CFG.num_shards
+    assert m["n_postings"] > 0
+
+
+def test_stale_layout_wiped_on_config_change(spark, tmp_path):
+    """Rebuilding with fewer shards must not leave stale shard partitions
+    readable by query scans (fingerprint change wipes the index dir)."""
+    index_dir = str(tmp_path / "idx4")
+    pages = synthetic_pages(spark, 60, num_partitions=2)
+    build_index(spark, pages, index_dir, CFG, input_token="x")
+    small = IndexConfig(**{**CFG.to_dict(), "num_shards": 2, "extras": {}})
+    build_index(spark, pages, index_dir, small, input_token="x")
+    shard_dirs = [d for d in os.listdir(os.path.join(index_dir, "shards"))
+                  if d.startswith("shard_id=")]
+    assert sorted(shard_dirs) == ["shard_id=0", "shard_id=1"]
+    rows = Manifest(index_dir).shard_metrics()
+    assert [r["shard_id"] for r in rows] == [0, 1]

@@ -1,8 +1,12 @@
-"""Skew differential (SURVEY.md §5.4): the salted two-phase build must
-produce bit-identical postings to the unsalted single-phase build on a
-corpus with a planted head term (~55% of docs contain HEAD_TERM)."""
+"""Skew differential (SURVEY.md §5.4): the range-segmented build must
+produce the same logical postings regardless of segmentation config, on a
+corpus with a planted head term (~55% of docs contain HEAD_TERM) — i.e.
+doc-range salting is a pure physical rewrite.
 
-import hashlib
+Also asserts the head term is actually split across multiple segments
+(the salting really happened) and that no parquet cell outgrows the
+max_seg_postings bound."""
+
 import os
 
 from word2doc_spark.config import IndexConfig
@@ -12,30 +16,44 @@ from word2doc_spark.sources.pages import synthetic_pages
 
 
 def _postings_map(spark, index_dir):
+    """term_id -> (df, [doc_ids], [tfs]) reconstructed from segment rows."""
     rows = (spark.read.parquet(os.path.join(index_dir, "shards"))
-            .select("term_id", "df", "payload").collect())
-    out = {}
+            .select("term_id", "range_id", "seg_id", "n_postings", "payload")
+            .collect())
+    segs: dict[int, list] = {}
     for r in rows:
-        docs, tfs = decode_postings(bytes(r["payload"]))
-        out[r["term_id"]] = (r["df"], docs.tolist(), tfs.tolist())
+        segs.setdefault(r["term_id"], []).append(r)
+    dfs = {r["term_id"]: r["df"]
+           for r in spark.read.parquet(os.path.join(index_dir, "terms"))
+           .select("term_id", "df").collect()}
+    out = {}
+    for t, lst in segs.items():
+        lst.sort(key=lambda r: (r["range_id"], r["seg_id"]))
+        docs, tfs = [], []
+        for r in lst:
+            d, f = decode_postings(bytes(r["payload"]))
+            docs.extend(d.tolist())
+            tfs.extend(f.tolist())
+        assert dfs[t] == len(docs)
+        out[t] = (dfs[t], docs, tfs)
     return out
 
 
-def test_salted_build_identical_to_unsalted(spark, tmp_path):
+def test_segmented_build_identical_to_single_range(spark, tmp_path):
     pages = synthetic_pages(spark, 200, num_partitions=4)
     base = IndexConfig(hash_size=2 ** 18, num_shards=4, block_size=64)
 
-    # unsalted: threshold higher than any df
+    # single range, huge segments: one segment per term (unsalted shape)
     dir_a = str(tmp_path / "a")
     build_index(spark, pages, dir_a,
-                IndexConfig(**{**base.to_dict(), "salt_df_threshold": 10 ** 9,
-                               "extras": {}}),
+                IndexConfig(**{**base.to_dict(), "n_ranges": 1,
+                               "max_seg_postings": 10 ** 9, "extras": {}}),
                 input_token="skew")
-    # salted: threshold low enough that the head term (and more) salt
+    # many ranges + tiny segment cap: heavy splitting
     dir_b = str(tmp_path / "b")
     build_index(spark, pages, dir_b,
-                IndexConfig(**{**base.to_dict(), "salt_df_threshold": 20,
-                               "salt_factor": 8, "extras": {}}),
+                IndexConfig(**{**base.to_dict(), "n_ranges": 8,
+                               "max_seg_postings": 16, "extras": {}}),
                 input_token="skew")
 
     a = _postings_map(spark, dir_a)
@@ -44,13 +62,20 @@ def test_salted_build_identical_to_unsalted(spark, tmp_path):
     assert a == b  # df, doc order, tfs — everything identical
 
 
-def test_head_terms_actually_salted(spark, tmp_path):
-    from word2doc_spark.index.manifest import Manifest
+def test_head_term_actually_segmented(spark, tmp_path):
     pages = synthetic_pages(spark, 200, num_partitions=4)
     d = str(tmp_path / "c")
     build_index(spark, pages, d,
                 IndexConfig(hash_size=2 ** 18, num_shards=4, block_size=64,
-                            salt_df_threshold=20, salt_factor=8),
+                            n_ranges=8, max_seg_postings=16),
                 input_token="skew2")
-    rows = Manifest(d).shard_metrics()
-    assert sum(r.get("n_head_terms", 0) for r in rows) > 0
+    import pyspark.sql.functions as F
+    segs = spark.read.parquet(os.path.join(d, "shards"))
+    per_term = (segs.groupBy("term_id")
+                .agg(F.count("*").alias("n_segs"),
+                     F.max("n_postings").alias("max_seg"))
+                .collect())
+    # the planted head term (and bigrams around it) must split
+    assert max(r["n_segs"] for r in per_term) > 1
+    # no cell ever exceeds the segment cap
+    assert all(r["max_seg"] <= 16 for r in per_term)

@@ -15,7 +15,7 @@ class IndexConfig:
     # --- analysis (reference parity; changing these changes term_ids) ---
     ngram: int = 2              # all n-grams of length 1..ngram
     hash_size: int = 2 ** 24    # feature-hash buckets (murmur3_32 % hash_size)
-    analyzer: str = "simple"    # only 'simple' implemented (reference default)
+    analyzer: str = "simple"    # 'simple' (reference default) | 'regexp'
 
     # --- scoring ---
     score_mode: str = "drqa"    # 'drqa' (reference formula) | 'bm25'
@@ -25,14 +25,26 @@ class IndexConfig:
     # --- physical layout ---
     block_size: int = 128       # postings per block (block-max WAND skip unit)
     num_shards: int = 32        # posting shards = hash partitions of term_id
-    # head-term salting: terms with df >= salt_df_threshold are built in
-    # salt_factor range-buckets of doc_id and concatenated in a 2nd phase.
-    salt_df_threshold: int = 100_000
-    salt_factor: int = 16
+    # doc-range segmentation: every term's posting list is split at global
+    # doc-range boundaries (n_ranges buckets over [0, n_docs)) — this IS the
+    # always-on head-term salting (salt = doc range), and it is also the
+    # parallel axis of doc-partitioned query scoring. Within one range a run
+    # is further split at max_seg_postings so no parquet cell outgrows a few
+    # hundred KB regardless of df. At 10^12-doc scale n_ranges would be set
+    # to O(10^4-10^5); the local default keeps ranges >= cores.
+    n_ranges: int = 32
+    max_seg_postings: int = 131072
+    # doclen blob chunking (docs per encoded dl chunk row)
+    dl_chunk_docs: int = 1 << 20
+    # encode-stage resume granularity: 0 = all shards in ONE Spark job
+    # (fastest); k > 0 = sequential jobs of k shards each, each group an
+    # atomic resume unit (per-shard lineage rows written either way)
+    shards_per_job: int = 0
 
     # bookkeeping (bump on any stats/layout semantic change — the build
-    # fingerprint includes it, so stale indexes rebuild; v2: avgdl over N)
-    version: int = 2
+    # fingerprint includes it, so stale indexes rebuild; v3: range-segmented
+    # posting lists + terms/doclen_seg tables)
+    version: int = 3
     extras: dict = field(default_factory=dict)
 
     def to_dict(self) -> dict:

@@ -38,6 +38,43 @@ _TOKEN_RE = regex.compile(
 )
 _PUNCT_RE = regex.compile(r"^\p{P}+$")
 
+# --- PTB-style regexp tokenizer (C4, the reference's optional second
+# analyzer — /root/reference/src/word2doc/tokenizers/regexp_tokenizer.py:
+# 21-100). Same 16 named alternates and quote/dash/ellipsis substitutions;
+# only tokenization is reproduced (annotators are out of scope).
+_RE_DIGIT = r"\p{Nd}+([:\.\,]\p{Nd}+)*"
+_RE_TITLE = (r"(dr|esq|hon|jr|mr|mrs|ms|prof|rev|sr|st|rt|messrs|mmes|msgr)"
+             r"\.(?=\p{Z})")
+_RE_ABBRV = r"([\p{L}]\.){2,}(?=\p{Z}|$)"
+_RE_ALPHA_NUM = r"[\p{L}\p{N}\p{M}]++"
+_RE_HYPHEN = r"{A}([-֊‐‑]{A})+".format(A=_RE_ALPHA_NUM)
+_RE_NEGATION = r"((?!n't)[\p{L}\p{N}\p{M}])++(?=n't)|n't"
+_RE_CONTRACTION1 = r"can(?=not\b)"
+_RE_CONTRACTION2 = r"'([tsdm]|re|ll|ve)\b"
+_RE_START_DQUOTE = r'(?<=[\p{Z}\(\[{<]|^)(``|["“«])(?!\p{Z})'
+_RE_START_SQUOTE = r"(?<=[\p{Z}\(\[{<]|^)['‘‛‹](?!\p{Z})"
+_RE_END_DQUOTE = r'(?<!\p{Z})(\'\'|["”»])'
+_RE_END_SQUOTE = r"(?<!\p{Z})['’›]"
+_RE_DASH = r"--|[–—―]"
+_RE_ELLIPSES = r"\.\.\.|…"
+_RE_PUNCT = r"\p{P}"
+_RE_NON_WS = r"[^\p{Z}\p{C}]"
+
+_REGEXP_RE = regex.compile(
+    "(?P<digit>%s)|(?P<title>%s)|(?P<abbr>%s)|(?P<neg>%s)|(?P<hyph>%s)|"
+    "(?P<contr1>%s)|(?P<alphanum>%s)|(?P<contr2>%s)|(?P<sdquote>%s)|"
+    "(?P<edquote>%s)|(?P<ssquote>%s)|(?P<esquote>%s)|(?P<dash>%s)|"
+    "(?P<ellipses>%s)|(?P<punct>%s)|(?P<nonws>%s)" %
+    (_RE_DIGIT, _RE_TITLE, _RE_ABBRV, _RE_NEGATION, _RE_HYPHEN,
+     _RE_CONTRACTION1, _RE_ALPHA_NUM, _RE_CONTRACTION2, _RE_START_DQUOTE,
+     _RE_END_DQUOTE, _RE_START_SQUOTE, _RE_END_SQUOTE, _RE_DASH,
+     _RE_ELLIPSES, _RE_PUNCT, _RE_NON_WS),
+    flags=regex.IGNORECASE + regex.UNICODE + regex.MULTILINE,
+)
+
+_REGEXP_SUBS = (("sdquote", "``"), ("edquote", "''"), ("ssquote", "`"),
+                ("esquote", "'"), ("dash", "--"), ("ellipses", "..."))
+
 
 def nfd(text: str) -> str:
     return unicodedata.normalize("NFD", text)
@@ -46,6 +83,38 @@ def nfd(text: str) -> str:
 def simple_tokenize(text: str) -> list[str]:
     """Token surface forms, in order (case preserved)."""
     return [m.group() for m in _TOKEN_RE.finditer(text)]
+
+
+def regexp_tokenize(text: str) -> list[str]:
+    """PTB-style token surface forms with the reference's quote/dash/
+    ellipsis substitutions applied (regexp_tokenizer.py:71-84)."""
+    out = []
+    for m in _REGEXP_RE.finditer(text):
+        token = m.group()
+        groups = m.groupdict()
+        for name, repl in _REGEXP_SUBS:
+            if groups[name]:
+                token = repl
+                break
+        out.append(token)
+    return out
+
+
+def _simple_words(text: str) -> list[str]:
+    return [m.group().lower() for m in _TOKEN_RE.finditer(nfd(text))]
+
+
+def _regexp_words(text: str) -> list[str]:
+    return [t.lower() for t in regexp_tokenize(nfd(text))]
+
+
+# I2 analyzer registry — the reference's tokenizer registry
+# (/root/reference/src/word2doc/tokenizers/__init__.py:31-40); corenlp and
+# spacy variants are out of scope (external services / not default).
+TOKENIZERS = {
+    "simple": _simple_words,
+    "regexp": _regexp_words,
+}
 
 
 def is_filtered_word(word: str) -> bool:
@@ -73,11 +142,18 @@ class Analyzer:
 
     _WID_CAP = 1 << 24  # dense word-id space bound for bigram int keys
 
-    def __init__(self, ngram: int = 2, hash_size: int = 2 ** 24):
+    def __init__(self, ngram: int = 2, hash_size: int = 2 ** 24,
+                 tokenizer: str = "simple"):
         if ngram not in (1, 2):
             raise ValueError("only ngram in {1,2} supported (reference default is 2)")
+        if tokenizer not in TOKENIZERS:
+            raise ValueError(
+                f"unknown tokenizer {tokenizer!r}; registered: "
+                f"{sorted(TOKENIZERS)}")
         self.ngram = ngram
         self.hash_size = hash_size
+        self.tokenizer = tokenizer
+        self._words = TOKENIZERS[tokenizer]
         self._hash_cache = TermHashCache(hash_size)
         self._word_verdict: dict[str, bool] = {}  # lowercased word -> filtered?
         # word string -> dense wid; wid -> (kept?, unigram term_id)
@@ -91,7 +167,7 @@ class Analyzer:
     def grams(self, text: str) -> list[str]:
         """Kept (unfiltered) 1..n-gram strings for one document, in order."""
         verdict = self._word_verdict
-        words = [m.group().lower() for m in _TOKEN_RE.finditer(nfd(text))]
+        words = self._words(text)
         kept = np.empty(len(words), dtype=bool)
         for i, w in enumerate(words):
             v = verdict.get(w)
@@ -213,13 +289,13 @@ class Analyzer:
         self._maybe_reset()
         term_lists: list[np.ndarray] = []
         tf_lists: list[np.ndarray] = []
-        finditer = _TOKEN_RE.finditer
+        words_of = self._words
         for t in texts:
             if not t:
                 term_lists.append(np.empty(0, dtype=np.int64))
                 tf_lists.append(np.empty(0, dtype=np.int32))
                 continue
-            words = [m.group().lower() for m in finditer(nfd(t))]
+            words = words_of(t)
             ids = self._doc_term_ids(words)
             if ids.size == 0:
                 term_lists.append(np.empty(0, dtype=np.int64))

@@ -1,4 +1,4 @@
-"""Distributed, resumable inverted-index build.
+"""Distributed, resumable inverted-index build (v3: range-segmented lists).
 
 Pipeline (SURVEY.md §7.0), all DataFrame-declarative except the two
 Arrow-UDF stages (analysis, posting encode):
@@ -7,23 +7,31 @@ Arrow-UDF stages (analysis, posting encode):
           ──assign_doc_ids──▶ (doc_id, url, text)          [docs stage]
           ──analyze mapInPandas──▶ (doc_id, term_id, tf)
           ──write partitioned by shard_id=pmod(term_id,S)──▶ stage/terms
-    per shard (independent, resumable job):
-          read stage/terms/shard_id=K      (partition-pruned scan)
-          split head/tail terms by df      (broadcast head set)
-          tail: repartition(term_id) → sort → run-encode   (1 shuffle)
-          head: salt by doc_id range → partial encode → merge (2-phase)
-          write shards/shard_id=K (term_id, df, n_postings, payload)
+          ──groupBy(doc_id).sum(tf)──▶ doclen + doclen_seg (per-range blobs)
+    encode (one Spark job by default; optionally grouped for finer resume):
+          read stage/terms
+          repartition(term_id, range_id)  range_id = doc_id // range_width
+          sort (term_id, doc_id) → run-encode SEGMENTS per (term, range),
+          each ≤ max_seg_postings postings
+          write shards/shard_id=K (term_id, range_id, seg_id, n_postings,
+                                   doc_lo, doc_hi, payload)
+          derive terms/shard_id=K (term_id, df) from segment metadata
           manifest/shard_K.json   (lineage fingerprint + metrics)
-    publish: manifest/config.json (N, avgdl, totals)
+    publish: manifest/config.json (N, avgdl, range_width, totals)
 
-Skew: AQE splits skewed *joins* but not skewed aggregations; head terms
-(df ≥ salt_df_threshold) therefore get explicit doc_id-range salting —
-partial posting runs per salt bucket are disjoint sorted ranges, so the
-phase-2 merge is a cheap concat+reencode (SURVEY.md §4.1).
+Skew: the doc-range split IS the explicit head-term salting (north rule):
+a term with df = N never concentrates in one task or one parquet cell —
+its postings spread over n_ranges × (width / max_seg_postings) bounded
+segments, built by hash-partitioned (term_id, range_id) keys. AQE splits
+skewed joins but not skewed aggregations, hence the explicit composite
+key (SURVEY.md §4.1). Segments double as the doc-partitioned parallel
+axis of query scoring (query/fast.py, query/wand.py).
 
 Resume: every stage writes an atomic manifest marker keyed by a build
-fingerprint; a rerun skips completed stages/shards without recomputing
-(north rule: checkpointed shards, per-partition lineage + metrics).
+fingerprint; a rerun skips completed stages/shard-groups without
+recomputing (north rule: checkpointed shards, per-partition lineage +
+metrics). A fingerprint change (config or input) wipes the index dir so
+stale partitions from an older layout can never leak into query scans.
 """
 
 from __future__ import annotations
@@ -31,6 +39,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import shutil
 import time
 from typing import Iterator
 
@@ -42,9 +51,12 @@ import pyspark.sql.functions as F
 from word2doc_spark.config import IndexConfig
 from word2doc_spark.index.analyze import extracted_docs
 from word2doc_spark.index.manifest import Manifest
-from word2doc_spark.index.postings import encode_postings, merge_encoded
+from word2doc_spark.index.postings import encode_postings
 
-SHARD_SCHEMA = "term_id long, df long, n_postings long, payload binary"
+SEG_SCHEMA = ("term_id long, range_id int, seg_id int, n_postings long, "
+              "doc_lo long, doc_hi long, payload binary")
+DL_SEG_SCHEMA = ("range_id int, chunk_id int, doc_lo long, n_docs long, "
+                 "payload binary")
 
 
 def _fingerprint(config: IndexConfig, input_token: str) -> str:
@@ -53,97 +65,118 @@ def _fingerprint(config: IndexConfig, input_token: str) -> str:
     return hashlib.sha256(blob).hexdigest()[:16]
 
 
+def range_width_for(n_docs: int, n_ranges: int) -> int:
+    return max(1, -(-max(n_docs, 1) // max(n_ranges, 1)))
+
+
 # ---------------------------------------------------------------------------
-# posting-run encoding over partition-sorted term runs
+# segment encoding over partition-sorted (term_id, doc_id) runs
 # ---------------------------------------------------------------------------
 
-def _encode_runs(key_cols: list[str], block_size: int):
-    """mapInPandas generator factory: input sorted by key_cols + doc_id
-    within each partition; encodes each key run into one posting payload.
-    Buffers the partition-boundary run across Arrow batches."""
+def _encode_segment_runs(range_width: int, max_seg: int, block_size: int):
+    """mapInPandas generator factory.
+
+    Input: (doc_id, term_id, tf) sorted by (term_id, doc_id) within each
+    partition; every (term_id, range_id) run is wholly contained in one
+    partition (hash-partitioned on that composite key upstream).
+    Output: SEG_SCHEMA rows — one run split into ≤max_seg-posting segments.
+
+    Memory is bounded at max_seg + one Arrow batch: complete segments of an
+    open run are flushed eagerly; only the < max_seg remainder is carried
+    across batches.
+    """
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
+        open_key: tuple[int, int] | None = None  # (term_id, range_id)
+        open_seg = 0  # next seg_id for the open run
 
-        def encode_block(pdf: pd.DataFrame, flush_all: bool):
-            nonlocal carry
+        def encode_chunks(term: int, rid: int, docs: np.ndarray,
+                          tfs: np.ndarray, seg_base: int, rows: list):
+            for j, s in enumerate(range(0, docs.size, max_seg)):
+                e = min(s + max_seg, docs.size)
+                rows.append((term, rid, seg_base + j, e - s,
+                             int(docs[s]), int(docs[e - 1]),
+                             encode_postings(docs[s:e], tfs[s:e], block_size)))
+
+        def flush(pdf: pd.DataFrame, flush_all: bool):
+            nonlocal carry, open_key, open_seg
             if carry is not None:
                 pdf = pd.concat([carry, pdf], ignore_index=True)
                 carry = None
             if len(pdf) == 0:
+                if flush_all:
+                    open_key, open_seg = None, 0
                 return None
-            keys = pdf[key_cols[0]].to_numpy()
-            if len(key_cols) > 1:
-                # composite key: factorize pairwise (term_id, salt)
-                salt = pdf[key_cols[1]].to_numpy()
-                change = np.concatenate(
-                    ([True], (keys[1:] != keys[:-1]) | (salt[1:] != salt[:-1])))
-            else:
-                change = np.concatenate(([True], keys[1:] != keys[:-1]))
-            starts = np.flatnonzero(change)
-            if not flush_all:
-                if len(starts) == 1:
-                    carry = pdf
-                    return None
-                last_start = starts[-1]
-                carry = pdf.iloc[last_start:]
-                pdf = pdf.iloc[:last_start]
-                starts = starts[:-1]
-            ends = np.concatenate((starts[1:], [len(pdf)]))
+            terms = pdf["term_id"].to_numpy()
             docs = pdf["doc_id"].to_numpy()
+            rids = (docs // range_width).astype(np.int64)
+            change = np.concatenate(
+                ([True], (terms[1:] != terms[:-1]) | (rids[1:] != rids[:-1])))
+            starts = np.flatnonzero(change)
+            ends = np.concatenate((starts[1:], [len(pdf)]))
             tfs = pdf["tf"].to_numpy()
-            out_rows = {
-                "term_id": pdf[key_cols[0]].to_numpy()[starts],
-                "df": (ends - starts).astype(np.int64),
-                "n_postings": (ends - starts).astype(np.int64),
-                "payload": [
-                    encode_postings(docs[s:e], tfs[s:e], block_size)
-                    for s, e in zip(starts, ends)
-                ],
-            }
-            if len(key_cols) > 1:
-                out_rows["salt"] = pdf[key_cols[1]].to_numpy()[starts]
-            return pd.DataFrame(out_rows)
+            rows: list = []
+            n_runs = len(starts)
+            for i, (s, e) in enumerate(zip(starts, ends)):
+                key = (int(terms[s]), int(rids[s]))
+                seg_base = open_seg if key == open_key else 0
+                if i == n_runs - 1 and not flush_all:
+                    # trailing run may continue in the next batch: flush only
+                    # full segments, carry the remainder
+                    n_full = ((e - s) // max_seg) * max_seg
+                    if n_full:
+                        encode_chunks(key[0], key[1], docs[s:s + n_full],
+                                      tfs[s:s + n_full], seg_base, rows)
+                    open_key = key
+                    open_seg = seg_base + n_full // max_seg
+                    carry = pdf.iloc[s + n_full:]
+                else:
+                    encode_chunks(key[0], key[1], docs[s:e], tfs[s:e],
+                                  seg_base, rows)
+            if flush_all:
+                open_key, open_seg = None, 0
+            if not rows:
+                return None
+            return pd.DataFrame(rows, columns=[
+                "term_id", "range_id", "seg_id", "n_postings",
+                "doc_lo", "doc_hi", "payload"])
 
         for pdf in it:
-            out = encode_block(pdf, flush_all=False)
-            if out is not None and len(out):
+            out = flush(pdf, flush_all=False)
+            if out is not None:
                 yield out
         if carry is not None and len(carry):
-            out = encode_block(pd.DataFrame(columns=carry.columns), flush_all=True)
-            if out is not None and len(out):
+            out = flush(pd.DataFrame(columns=carry.columns), flush_all=True)
+            if out is not None:
                 yield out
 
     return gen
 
 
-def _encode_term_runs(terms: DataFrame, config: IndexConfig,
-                      shuffle_partitions: int) -> DataFrame:
-    """(doc_id, term_id, tf) → (term_id, df, n_postings, payload)."""
+def _encode_segments(terms: DataFrame, config: IndexConfig,
+                     range_width: int, shuffle_partitions: int) -> DataFrame:
+    """(doc_id, term_id, tf) → SEG_SCHEMA segment rows."""
+    keyed = terms.withColumn(
+        "range_id",
+        (F.col("doc_id") / F.lit(range_width)).cast("int"))
     sorted_terms = (
-        terms.repartition(shuffle_partitions, "term_id")
+        keyed.repartition(shuffle_partitions, "term_id", "range_id")
         .sortWithinPartitions("term_id", "doc_id")
+        .select("doc_id", "term_id", "tf")
     )
     return sorted_terms.mapInPandas(
-        _encode_runs(["term_id"], config.block_size), schema=SHARD_SCHEMA)
+        _encode_segment_runs(range_width, config.max_seg_postings,
+                             config.block_size),
+        schema=SEG_SCHEMA)
 
 
-def _encode_salted(terms: DataFrame, config: IndexConfig, n_docs: int,
-                   shuffle_partitions: int) -> DataFrame:
-    """Two-phase build for head terms: salt = doc_id range bucket."""
-    s = config.salt_factor
-    bucket = max(1, (n_docs + s - 1) // s)
-    salted = terms.withColumn("salt", (F.col("doc_id") / bucket).cast("int"))
-    partial = (
-        salted.repartition(shuffle_partitions, "term_id", "salt")
-        .sortWithinPartitions("term_id", "salt", "doc_id")
-        .mapInPandas(_encode_runs(["term_id", "salt"], config.block_size),
-                     schema=SHARD_SCHEMA + ", salt int")
-    )
+def _encode_dl_runs(range_width: int, chunk_docs: int, block_size: int):
+    """(doc_id, dl) sorted by doc_id per partition, partitioned by
+    (range_id, chunk_id) → DL_SEG_SCHEMA blob rows (payload reuses the
+    postings codec over (doc_id, dl) pairs)."""
 
-    block_size = config.block_size
-
-    def merge(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
 
         def flush(pdf: pd.DataFrame, flush_all: bool):
@@ -153,8 +186,11 @@ def _encode_salted(terms: DataFrame, config: IndexConfig, n_docs: int,
                 carry = None
             if len(pdf) == 0:
                 return None
-            keys = pdf["term_id"].to_numpy()
-            change = np.concatenate(([True], keys[1:] != keys[:-1]))
+            docs = pdf["doc_id"].to_numpy()
+            rids = (docs // range_width).astype(np.int64)
+            cids = ((docs % range_width) // chunk_docs).astype(np.int64)
+            change = np.concatenate(
+                ([True], (rids[1:] != rids[:-1]) | (cids[1:] != cids[:-1])))
             starts = np.flatnonzero(change)
             if not flush_all:
                 if len(starts) == 1:
@@ -162,37 +198,59 @@ def _encode_salted(terms: DataFrame, config: IndexConfig, n_docs: int,
                     return None
                 carry = pdf.iloc[starts[-1]:]
                 pdf = pdf.iloc[:starts[-1]]
+                docs = docs[:starts[-1]]
+                rids, cids = rids[:starts[-1]], cids[:starts[-1]]
                 starts = starts[:-1]
             ends = np.concatenate((starts[1:], [len(pdf)]))
-            rows = []
-            for s0, e0 in zip(starts, ends):
-                grp = pdf.iloc[s0:e0].sort_values("salt")
-                payload = merge_encoded(list(grp["payload"]), block_size)
-                n_post = int(grp["n_postings"].sum())
-                rows.append((int(grp["term_id"].iloc[0]), n_post, n_post, payload))
-            return pd.DataFrame(rows, columns=["term_id", "df", "n_postings",
-                                               "payload"])
+            dls = pdf["dl"].to_numpy()
+            rows = [
+                (int(rids[s]), int(cids[s]), int(docs[s]), e - s,
+                 encode_postings(docs[s:e], dls[s:e], block_size))
+                for s, e in zip(starts, ends)
+            ]
+            return pd.DataFrame(rows, columns=[
+                "range_id", "chunk_id", "doc_lo", "n_docs", "payload"])
 
         for pdf in it:
             out = flush(pdf, flush_all=False)
-            if out is not None and len(out):
+            if out is not None:
                 yield out
         if carry is not None and len(carry):
             out = flush(pd.DataFrame(columns=carry.columns), flush_all=True)
-            if out is not None and len(out):
+            if out is not None:
                 yield out
 
-    merged = (
-        partial.repartition(shuffle_partitions, "term_id")
-        .sortWithinPartitions("term_id", "salt")
-        .mapInPandas(merge, schema=SHARD_SCHEMA)
-    )
-    return merged
+    return gen
 
 
 # ---------------------------------------------------------------------------
 # build driver
 # ---------------------------------------------------------------------------
+
+def _wipe_stale(index_dir: str, manifest: Manifest, fp: str) -> None:
+    """A fingerprint change invalidates EVERYTHING (input or config moved):
+    wipe the index dir so stale shards/terms/doclen from an older layout or
+    num_shards can never be read alongside fresh data."""
+    stale = False
+    marker = manifest.read_marker("stage")
+    if marker is not None and marker.get("fingerprint") != fp:
+        stale = True
+    if manifest.is_published():
+        try:
+            with open(manifest.config_path()) as f:
+                if json.load(f)["stats"].get("fingerprint") != fp:
+                    stale = True
+        except Exception:
+            stale = True
+    if stale and os.path.isdir(index_dir):
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+
+def _shard_groups(num_shards: int, shards_per_job: int) -> list[list[int]]:
+    k = shards_per_job if shards_per_job > 0 else num_shards
+    return [list(range(s, min(s + k, num_shards)))
+            for s in range(0, num_shards, k)]
+
 
 def build_index(
     spark: SparkSession,
@@ -208,6 +266,7 @@ def build_index(
     config = config or IndexConfig()
     manifest = Manifest(index_dir)
     fp = _fingerprint(config, input_token)
+    _wipe_stale(index_dir, manifest, fp)
     sp = shuffle_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32"))
     metrics: dict = {"fingerprint": fp, "resumed_stages": []}
@@ -216,9 +275,11 @@ def build_index(
     docs_path = os.path.join(index_dir, "docs")
     stage_path = os.path.join(index_dir, "stage", "terms")
     doclen_path = os.path.join(index_dir, "doclen")
+    doclen_seg_path = os.path.join(index_dir, "doclen_seg")
     shards_path = os.path.join(index_dir, "shards")
+    terms_path = os.path.join(index_dir, "terms")
 
-    # -- stage 1+2: docs + staged terms ---------------------------------
+    # -- stage 1+2: docs + staged terms + doc lengths ---------------------
     # One python stage per action: the url-sorted cached corpus feeds
     # (a) a narrow ids-only pass → docs(doc_id, url) and (b) a combined
     # ids+analyze pass → (doc_id, term_id, tf). Chaining separate
@@ -245,6 +306,7 @@ def build_index(
             offsets[pid] = acc
             acc += counts[pid]
         n_docs = acc
+        range_width = range_width_for(n_docs, config.n_ranges)
 
         def ids_only(it):
             import pandas as pd  # noqa: F811
@@ -265,12 +327,14 @@ def build_index(
                .write.mode("overwrite").parquet(docs_path))
 
         ngram, hash_size = config.ngram, config.hash_size
+        analyzer_name = config.analyzer
 
         def ids_and_analyze(it):
             import numpy as np  # noqa: F811
             import pandas as pd  # noqa: F811
             from word2doc_spark.functions.tokenize import Analyzer
-            analyzer = Analyzer(ngram=ngram, hash_size=hash_size)
+            analyzer = Analyzer(ngram=ngram, hash_size=hash_size,
+                                tokenizer=analyzer_name)
             pos = None
             for pdf in it:
                 if len(pdf) == 0:
@@ -298,63 +362,95 @@ def build_index(
                              F.pmod(F.col("term_id"), F.lit(config.num_shards))))
         (terms.write.mode("overwrite")
               .partitionBy("shard_id").parquet(stage_path))
-        # doc lengths (bm25 dl): one cheap agg over the staged terms
+        # doc lengths (bm25 dl): one cheap agg over the staged terms, stored
+        # twice — plain rows (exact path join, avgdl) and per-range blobs
+        # (doc-partitioned scoring ships one small cell per range, never a
+        # driver-side N-row materialization)
         staged = spark.read.parquet(stage_path)
         (staged.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
                .write.mode("overwrite").parquet(doclen_path))
+        doclen = spark.read.parquet(doclen_path)
+        dl_keyed = doclen.withColumn(
+            "range_id", (F.col("doc_id") / F.lit(range_width)).cast("int")
+        ).withColumn(
+            "chunk_id",
+            ((F.col("doc_id") % F.lit(range_width))
+             / F.lit(config.dl_chunk_docs)).cast("int"))
+        (dl_keyed.repartition(sp, "range_id", "chunk_id")
+                 .sortWithinPartitions("doc_id")
+                 .select("doc_id", "dl")
+                 .mapInPandas(_encode_dl_runs(range_width,
+                                              config.dl_chunk_docs,
+                                              config.block_size),
+                              schema=DL_SEG_SCHEMA)
+                 .write.mode("overwrite").parquet(doclen_seg_path))
         ranged.unpersist()
         manifest.write_marker("stage", fp, wall_s=time.time() - t0,
-                              n_docs=n_docs)
+                              n_docs=n_docs, range_width=range_width)
 
     if n_docs is None:
         n_docs = spark.read.parquet(docs_path).count()
+    range_width = manifest.read_marker("stage").get(
+        "range_width", range_width_for(n_docs, config.n_ranges))
 
-    # -- stage 3: per-shard encode (independent, resumable) --------------
+    # -- stage 3: segment encode (one job by default; grouped for finer
+    #    resume). Dynamic partition overwrite makes a rerun of a group
+    #    idempotent: it replaces exactly the hive partitions it produces.
     done = manifest.completed_shards(fp)
-    staged_all = spark.read.parquet(stage_path)
-    todo = [s for s in range(config.num_shards) if s not in done]
+    groups = _shard_groups(config.num_shards, config.shards_per_job)
     metrics["resumed_stages"].extend(
         f"shard_{s}" for s in range(config.num_shards) if s in done)
 
-    # head terms (df ≥ threshold) detected ONCE over all pending shards —
-    # a single partial-aggregated count job; the head set is tiny by
-    # construction (only degenerate corpora have many ultra-common terms)
-    head_by_shard: dict[int, list[int]] = {s: [] for s in todo}
-    if todo:
-        head_rows = (
-            staged_all.filter(F.col("shard_id").isin(todo))
-            .groupBy("shard_id", "term_id")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") >= config.salt_df_threshold)
-            .select("shard_id", "term_id").collect())
-        for r in head_rows:
-            head_by_shard[r["shard_id"]].append(r["term_id"])
-
-    for shard_id in todo:
-        t0 = time.time()
-        shard_terms = staged_all.filter(F.col("shard_id") == shard_id) \
-                                .select("doc_id", "term_id", "tf")
-        head_ids = head_by_shard[shard_id]
-        if head_ids:
-            tail = shard_terms.filter(~F.col("term_id").isin(head_ids))
-            head = shard_terms.filter(F.col("term_id").isin(head_ids))
-            encoded = _encode_term_runs(tail, config, sp).unionByName(
-                _encode_salted(head, config, n_docs, sp))
-        else:
-            encoded = _encode_term_runs(shard_terms, config, sp)
-        encoded = encoded.persist()
-        out = os.path.join(shards_path, f"shard_id={shard_id}")
-        encoded.write.mode("overwrite").parquet(out)
-        srows = encoded.agg(
-            F.count("*").alias("terms"), F.sum("n_postings").alias("postings"),
-            F.sum(F.length("payload")).alias("bytes")).collect()[0]
-        encoded.unpersist()
-        manifest.write_shard(
-            shard_id, fp,
-            n_terms=srows["terms"], n_postings=int(srows["postings"] or 0),
-            bytes=int(srows["bytes"] or 0), n_head_terms=len(head_ids),
-            wall_s=time.time() - t0,
-        )
+    overwrite_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        staged_all = spark.read.parquet(stage_path)
+        for group in groups:
+            todo = [s for s in group if s not in done]
+            if not todo:
+                continue
+            t0 = time.time()
+            part = staged_all
+            if len(group) < config.num_shards:
+                part = staged_all.filter(F.col("shard_id").isin(group))
+            encoded = _encode_segments(
+                part.select("doc_id", "term_id", "tf"), config,
+                range_width, sp)
+            (encoded.withColumn(
+                "shard_id", F.pmod(F.col("term_id"),
+                                   F.lit(config.num_shards)))
+                .write.mode("overwrite").partitionBy("shard_id")
+                .parquet(shards_path))
+            wall = time.time() - t0
+            # derive the per-term stats table + per-shard lineage rows from
+            # the segment METADATA (column-pruned scan; payloads unread)
+            written = spark.read.parquet(shards_path).filter(
+                F.col("shard_id").isin(group))
+            term_stats = (written.groupBy("shard_id", "term_id")
+                          .agg(F.sum("n_postings").alias("df")))
+            (term_stats.write.mode("overwrite").partitionBy("shard_id")
+             .parquet(terms_path))
+            srows = (written.groupBy("shard_id")
+                     .agg(F.countDistinct("term_id").alias("terms"),
+                          F.count("*").alias("segments"),
+                          F.sum("n_postings").alias("postings"),
+                          F.sum(F.length("payload")).alias("bytes"))
+                     .collect())
+            got = {r["shard_id"]: r for r in srows}
+            for shard_id in group:
+                r = got.get(shard_id)
+                manifest.write_shard(
+                    shard_id, fp,
+                    n_terms=int(r["terms"]) if r else 0,
+                    n_postings=int(r["postings"] or 0) if r else 0,
+                    n_segments=int(r["segments"]) if r else 0,
+                    bytes=int(r["bytes"] or 0) if r else 0,
+                    wall_s=wall / len(group),
+                )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       overwrite_mode)
 
     # -- stage 4: publish -------------------------------------------------
     shard_rows = manifest.shard_metrics()
@@ -365,8 +461,10 @@ def build_index(
     stats = {
         "n_docs": n_docs,
         "avgdl": (float(agg["total_dl"] or 0) / n_docs) if n_docs else 0.0,
+        "range_width": range_width,
         "n_terms": sum(r["n_terms"] for r in shard_rows),
         "n_postings": sum(r["n_postings"] for r in shard_rows),
+        "n_segments": sum(r.get("n_segments", 0) for r in shard_rows),
         "index_bytes": sum(r["bytes"] for r in shard_rows),
         "input_token": input_token,
         "fingerprint": fp,

@@ -120,9 +120,9 @@ def build_metrics_df(spark, index_dir: str):
     every shard row carries its build fingerprint, sizes and wall time)."""
     rows = Manifest(index_dir).shard_metrics()
     schema = ("shard_id int, fingerprint string, n_terms long, "
-              "n_postings long, bytes long, n_head_terms long, wall_s double")
+              "n_postings long, bytes long, n_segments long, wall_s double")
     return spark.createDataFrame(
         [(r["shard_id"], r["fingerprint"], r.get("n_terms", 0),
           r.get("n_postings", 0), r.get("bytes", 0),
-          r.get("n_head_terms", 0), float(r.get("wall_s", 0.0)))
+          r.get("n_segments", 0), float(r.get("wall_s", 0.0)))
          for r in rows], schema)

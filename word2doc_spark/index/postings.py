@@ -160,10 +160,10 @@ def decode_block(payload: bytes, block_offset: int,
 def merge_encoded(payloads: list[bytes], block_size: int = 128) -> bytes:
     """Merge several encoded posting runs of the SAME term into one list.
 
-    Used by the two-phase salted build: salt buckets are doc_id ranges, so
-    runs are disjoint; a doc_id appearing in several runs (hash-collision
-    merge across partial builds) gets its tfs summed — reference
-    sum_duplicates semantics (build_tfidf.py:142).
+    Compaction helper (e.g. merging doc-range segments into fewer cells):
+    runs over disjoint doc ranges concatenate; a doc_id appearing in
+    several runs (merge across partial builds) gets its tfs summed —
+    reference sum_duplicates semantics (build_tfidf.py:142).
     """
     docs_all, tfs_all = [], []
     for p in payloads:

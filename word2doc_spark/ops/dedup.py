@@ -145,54 +145,53 @@ def ngram_jaccard_pairs(docs: DataFrame, shingle_n: int = 3,
 
 
 # ---------------------------------------------------------------------------
-# simhash — vectorized pandas UDF (bit ops don't fit SQL builtins cleanly)
+# simhash — pure built-ins (JVM-side, whole-stage codegen) over the
+# md5-prefix token hash, so DuckDB can run an exact SQL twin
 # ---------------------------------------------------------------------------
 
+SIMHASH_BITS = 60  # md5_long yields 60 usable bits (15 hex chars)
+
+
 def simhash64(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash) — 64-bit simhash over token murmur hashes,
-    computed in one Arrow pass (rows-only correctness check)."""
-    from word2doc_spark.functions.hashing import murmurhash3_batch
+    """(doc_id, simhash) — 60-bit simhash over the token multiset.
 
-    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            out = np.zeros(len(pdf), dtype=np.uint64)
-            for i, text in enumerate(pdf["text"].fillna("")):
-                toks = [t for t in
-                        "".join(c if c.isalnum() else " "
-                                for c in text.lower()).split() if t]
-                if not toks:
-                    continue
-                h32 = murmurhash3_batch(toks)
-                # two 32-bit murmurs (seeded) → 64 bits
-                h32b = murmurhash3_batch([t + "\x01" for t in toks])
-                h64 = (h32.astype(np.uint64) << np.uint64(32)) | h32b
-                bits = ((h64[:, None] >> np.arange(64, dtype=np.uint64))
-                        & np.uint64(1)).astype(np.int64)
-                votes = (2 * bits - 1).sum(axis=0)
-                sim = np.uint64(0)
-                for b_i in np.flatnonzero(votes > 0):
-                    sim |= np.uint64(1) << np.uint64(b_i)
-                out[i] = sim
-            yield pd.DataFrame({"doc_id": pdf["doc_id"],
-                                "simhash": out.astype(np.int64)})
-
-    return docs.select("doc_id", "text").mapInPandas(
-        run, schema="doc_id long, simhash long")
+    Per token: h = md5_long(token); per bit position b: vote +1 when bit b
+    of h is set else −1, summed over all tokens (duplicates included);
+    simhash bit b = 1 iff the vote is positive. Docs with zero tokens get
+    simhash 0. All built-in column ops — one shuffle on (doc_id, bit) and
+    one on doc_id."""
+    toks = (docs.select("doc_id",
+                        F.explode(sql_tokens("text")).alias("token"))
+            .select("doc_id", _md5_long(F.col("token")).alias("h")))
+    bits = toks.select(
+        "doc_id",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1))
+             .cast("long") * 2 - 1
+            for b in range(SIMHASH_BITS)])).alias("pos", "vote"))
+    votes = (bits.groupBy("doc_id", "pos")
+             .agg(F.sum("vote").alias("v")))
+    sim = (votes.groupBy("doc_id")
+           .agg(F.sum(F.when(F.col("v") > 0,
+                             F.expr("shiftleft(CAST(1 AS BIGINT), pos)"))
+                      .otherwise(F.lit(0).cast("long"))).alias("simhash")))
+    return (docs.select("doc_id").join(sim, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("simhash"), F.lit(0).cast("long"))
+                     .alias("simhash")))
 
 
 def simhash_near_dupes(docs: DataFrame, hamming_max: int = 3) -> DataFrame:
     """(doc_a, doc_b, hamming) — near-dup pairs by simhash distance.
-    Candidate generation by 4×16-bit band equality (any doc pair within
+    Candidate generation by 4×15-bit band equality (any doc pair within
     hamming ≤ 3 shares at least one of 4 bands by pigeonhole)."""
     sh = simhash64(docs)
     bands = sh.select(
         "doc_id", "simhash",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("band"),
-                     F.shiftrightunsigned(F.col("simhash"), 16 * i)
-                      .bitwiseAND(F.lit(0xFFFF)).alias("key"))
+                     F.shiftrightunsigned(F.col("simhash"), 15 * i)
+                      .bitwiseAND(F.lit(0x7FFF)).alias("key"))
             for i in range(4)
         ])).alias("bk"),
     ).select("doc_id", "simhash", "bk.band", "bk.key")

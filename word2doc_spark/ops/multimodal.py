@@ -92,6 +92,30 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
              (F.col("frame_idx") * every_ms).alias("ts_ms"))
 
 
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic media table derived from a documents table: the text
+    bytes stand in for an opaque payload (no codecs in this container), the
+    metadata is pure column math — lets the driver exercise the multimodal
+    schema/batching plumbing against a SQL twin without external data."""
+    kind = (F.when(F.col("doc_id") % 3 == 0, "image")
+             .when(F.col("doc_id") % 3 == 1, "audio")
+             .otherwise("video"))
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.when(kind == "image", "image/jpeg")
+         .when(kind == "audio", "audio/ogg")
+         .otherwise("video/mp4").alias("mime"),
+        F.when(kind != "audio", (F.col("doc_id") % 4 + 1) * 320)
+         .cast("int").alias("width"),
+        F.when(kind != "audio", (F.col("doc_id") % 4 + 1) * 240)
+         .cast("int").alias("height"),
+        F.when(kind != "image", (F.col("doc_id") % 20 + 1) * 1000)
+         .cast("int").alias("duration_ms"),
+    )
+
+
 def synthetic_media(spark, n: int = 50, seed: int = 42) -> DataFrame:
     import random
     rng = random.Random(seed)

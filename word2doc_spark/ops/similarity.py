@@ -74,18 +74,29 @@ def lsh_bucket(df: DataFrame, planes: np.ndarray, id_col: str,
 
 
 def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
-             n_planes: int = 8, seed: int = 7) -> DataFrame:
-    """Approximate cosine top-k: candidates = same LSH bucket only."""
+             n_planes: int = 8, seed: int = 7,
+             n_tables: int = 1) -> DataFrame:
+    """Approximate cosine top-k: candidates = vectors sharing a bucket with
+    the query in ANY of ``n_tables`` independent hash tables (multi-probe
+    by table union — the standard recall lever; one table keeps the old
+    single-bucket behavior). Shuffle is keyed by (table, bucket); the
+    all-pairs product never materializes."""
     from pyspark.sql import Window
 
     dim = len(vectors.select("embedding").first()["embedding"])
-    planes = random_hyperplanes(dim, n_planes, seed)
-    vb = lsh_bucket(vectors.select(F.col("vec_id").alias("neighbor_id"),
-                                   "embedding"), planes, "neighbor_id")
-    qb = lsh_bucket(queries, planes, "query_vec_id")
-    cand = (vb.join(F.broadcast(qb.withColumnRenamed("embedding", "qe")),
-                    "bucket")
-              .filter(F.col("neighbor_id") != F.col("query_vec_id")))
+    v = vectors.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    cands = None
+    for t in range(n_tables):
+        planes = random_hyperplanes(dim, n_planes, seed + 101 * t)
+        vb = lsh_bucket(v, planes, "neighbor_id").withColumn("tbl", F.lit(t))
+        qb = (lsh_bucket(queries, planes, "query_vec_id")
+              .withColumn("tbl", F.lit(t))
+              .withColumnRenamed("embedding", "qe"))
+        c = (vb.join(F.broadcast(qb), ["tbl", "bucket"])
+               .filter(F.col("neighbor_id") != F.col("query_vec_id"))
+               .select("query_vec_id", "neighbor_id", "qe", "embedding"))
+        cands = c if cands is None else cands.unionByName(c)
+    cand = cands.dropDuplicates(["query_vec_id", "neighbor_id"])
     scored = cand.select(
         "query_vec_id", "neighbor_id",
         F.round(cosine_col(F.col("qe").cast("array<double>"),

@@ -105,3 +105,15 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.md5(F.array_join(toks, " ")).alias("fp"),
     )
+
+
+def sanitize_titles(df: DataFrame, col: str = "title",
+                    out: str = "clean_title") -> DataFrame:
+    """B5/C15 title sanitizer (reference
+    /root/reference/src/word2doc/optimizer/pre_process.py:212-218,279):
+    lowercase, keep only alphanumeric characters and spaces (unicode
+    alnum, matching Python str.isalnum), drop rows whose cleaned title is
+    empty. Pure column ops with an exact SQL twin."""
+    cleaned = F.regexp_replace(F.lower(F.col(col)), r"[^\p{L}\p{N} ]", "")
+    return (df.withColumn(out, cleaned)
+              .filter(F.col(out) != ""))

@@ -51,7 +51,8 @@ def build_oracle_index(
 ) -> OracleIndex:
     """docs: list of (url, text). doc_id = position in url-sorted order."""
     config = config or IndexConfig()
-    analyzer = Analyzer(ngram=config.ngram, hash_size=config.hash_size)
+    analyzer = Analyzer(ngram=config.ngram, hash_size=config.hash_size,
+                        tokenizer=config.analyzer)
     ordered = sorted(docs, key=lambda p: p[0])
     urls = [u for u, _ in ordered]
     postings_acc: dict[int, list[tuple[int, int]]] = {}
@@ -75,7 +76,8 @@ def oracle_query_weights(
     index: OracleIndex, query: str, analyzer: Analyzer | None = None
 ) -> tuple[np.ndarray, np.ndarray]:
     """(term_ids, w_q) for a query: w_q = ln(1+qtf)·idf (both modes)."""
-    a = analyzer or Analyzer(index.config.ngram, index.config.hash_size)
+    a = analyzer or Analyzer(index.config.ngram, index.config.hash_size,
+                             tokenizer=index.config.analyzer)
     terms, qtfs = a.analyze(query)
     if terms.size == 0:
         return terms, np.empty(0, dtype=np.float64)
@@ -123,8 +125,6 @@ def oracle_topk_table(
 ) -> list[tuple[int, int, int, str, float]]:
     """Golden rows (query_id, rank, doc_id, url, score)."""
     rows = []
-    analyzer = Analyzer(index.config.ngram, index.config.hash_size)
-    del analyzer  # single shared analyzer not needed; oracle_search makes one
     for qid, q in queries:
         for rank, (d, url, s) in enumerate(oracle_search(index, q, k), start=1):
             rows.append((qid, rank, d, url, s))

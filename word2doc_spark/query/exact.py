@@ -1,27 +1,34 @@
 """Exact batch query path (the goldens-grade scorer).
 
-Shape (SURVEY.md §3.2 Spark shape): queries → analyze UDF →
-(query_id, term_id, qtf) → broadcast-join against the matched posting rows
-(term_id-pruned shard scan) → decode+score inside one Arrow pass →
-groupBy(query_id, doc_id) sum → per-query top-k window with deterministic
-ties (score desc, doc_id asc).
+Shape (SURVEY.md §3.2 Spark shape): queries → analyze (driver-side; the
+query batch is the small side by construction, the analog of the
+reference's in-process ``batch_closest_docs`` —
+/root/reference/src/word2doc/retriever/tfidf_doc_ranker.py:75-82) →
+(query_id, term_id, qtf, w, idf) → broadcast-join against the matched
+posting SEGMENTS (term_id-pruned shard scan) → decode+score inside one
+Arrow pass → groupBy(query_id, doc_id) sum → per-query top-k window with
+deterministic ties (score desc, doc_id asc).
 
 Scale notes:
-* the posting scan is pruned two ways: parquet row-group predicate
+* the segment scan is pruned two ways: parquet row-group predicate
   pushdown on ``term_id IN (...)`` and hive partition pruning on
   ``shard_id IN (...)`` — a batch of queries touches only the shards its
-  terms hash into, and reads only (term_id, df, payload) columns.
-* the query side is tiny (thousands of terms) → broadcast hash join; the
-  only shuffle is the final (query_id, doc_id) aggregation, whose input
-  is already collapsed to per-term contributions.
-* bm25 needs per-doc dl: contributions join the doclen table on doc_id
-  (sort-merge/AQE); drqa needs no doc-side join at all.
+  terms hash into, and reads only (term_id, range_id, doc_lo, payload).
+* per-term IDF comes from the ``terms/`` stats table (same pruned-scan
+  pattern), so posting rows carry no denormalized df and the query plan
+  needs no big join-back.
+* posting payloads are bounded segments (≤ max_seg_postings), never one
+  unbounded cell per term — a df=N stop-bigram decodes as many small
+  tasks, not one multi-GB row.
+* this path shuffles the matched per-doc contributions into the
+  (query_id, doc_id) aggregation — simple and exactly twin-able, but the
+  shuffle grows with matched postings; the doc-partitioned fast/wand
+  paths (query/fast.py, query/wand.py) are the scale surface.
 """
 
 from __future__ import annotations
 
 import os
-from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -33,16 +40,25 @@ from word2doc_spark.index.manifest import Manifest
 from word2doc_spark.index.postings import decode_postings
 
 QUERY_TERMS_SCHEMA = "query_id long, term_id long, qtf int"
+RESULT_SCHEMA = ("query_id long, rank int, doc_id long, url string, "
+                 "score double")
+
+# above this many distinct query terms, an In() literal list stops being a
+# useful parquet filter (and bloats the plan); switch to a semi-join
+_ISIN_PRUNE_LIMIT = 20_000
 
 
 def analyze_queries(queries: DataFrame, config: IndexConfig) -> DataFrame:
-    """(query_id, query) → (query_id, term_id, qtf); identical analysis
-    pipeline as documents (tfidf_doc_ranker.py:84-107 semantics)."""
+    """Distributed variant: (query_id, query) → (query_id, term_id, qtf);
+    identical analysis pipeline as documents (tfidf_doc_ranker.py:84-107
+    semantics). Used when a query batch is too large to collect."""
     ngram, hash_size = config.ngram, config.hash_size
+    tokenizer = config.analyzer
 
-    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(it):
         from word2doc_spark.functions.tokenize import Analyzer
-        analyzer = Analyzer(ngram=ngram, hash_size=hash_size)
+        analyzer = Analyzer(ngram=ngram, hash_size=hash_size,
+                            tokenizer=tokenizer)
         for pdf in it:
             if len(pdf) == 0:
                 continue
@@ -61,25 +77,92 @@ def analyze_queries(queries: DataFrame, config: IndexConfig) -> DataFrame:
         run, schema=QUERY_TERMS_SCHEMA)
 
 
-# above this many distinct query terms, an In() literal list stops being a
-# useful parquet filter (and bloats the plan); switch to a semi-join
-_ISIN_PRUNE_LIMIT = 20_000
+def analyze_queries_driver(queries: DataFrame, config: IndexConfig,
+                           strict: bool = False) -> pd.DataFrame:
+    """Driver-side analysis of a query batch → pandas (query_id, term_id,
+    qtf). One collect of the (small) query side replaces the per-batch
+    distinct-term collect round-trip of the distributed variant.
+
+    strict=True raises on queries with zero kept terms — reference B9
+    semantics (tfidf_doc_ranker.py:98-103)."""
+    from word2doc_spark.functions.tokenize import Analyzer
+    rows = queries.select("query_id", "query").collect()
+    analyzer = Analyzer(ngram=config.ngram, hash_size=config.hash_size,
+                        tokenizer=config.analyzer)
+    terms, tfs = analyzer.analyze_batch([r["query"] or "" for r in rows])
+    if strict:
+        for r, t in zip(rows, terms):
+            if t.size == 0:
+                raise RuntimeError(f"No valid word in: {r['query']}")
+    qids = np.array([r["query_id"] for r in rows], dtype=np.int64)
+    lens = np.fromiter((t.size for t in terms), dtype=np.int64,
+                       count=len(terms))
+    if lens.sum() == 0:
+        return pd.DataFrame(columns=["query_id", "term_id", "qtf"])
+    return pd.DataFrame({
+        "query_id": np.repeat(qids, lens),
+        "term_id": np.concatenate(terms),
+        "qtf": np.concatenate(tfs).astype(np.int64),
+    })
 
 
-def _matched_postings(spark: SparkSession, index_dir: str,
-                      term_ids: list[int], num_shards: int) -> DataFrame:
-    shards = spark.read.parquet(os.path.join(index_dir, "shards"))
+def _prune_terms(df: DataFrame, term_ids: list[int],
+                 num_shards: int) -> DataFrame:
     shard_ids = sorted({t % num_shards for t in term_ids})
     if len(shard_ids) < num_shards:
-        shards = shards.filter(F.col("shard_id").isin(shard_ids))
+        df = df.filter(F.col("shard_id").isin(shard_ids))
     if len(term_ids) <= _ISIN_PRUNE_LIMIT:
         # row-group predicate pushdown on term_id
-        shards = shards.filter(F.col("term_id").isin(term_ids))
-    else:
-        wanted = spark.createDataFrame(
-            [(int(t),) for t in term_ids], "term_id long")
-        shards = shards.join(F.broadcast(wanted), "term_id", "left_semi")
-    return shards.select("term_id", "df", "payload")
+        return df.filter(F.col("term_id").isin(term_ids))
+    spark = df.sparkSession
+    wanted = spark.createDataFrame([(int(t),) for t in term_ids],
+                                   "term_id long")
+    return df.join(F.broadcast(wanted), "term_id", "left_semi")
+
+
+def _matched_segments(spark: SparkSession, index_dir: str,
+                      term_ids: list[int], num_shards: int) -> DataFrame:
+    segs = spark.read.parquet(os.path.join(index_dir, "shards"))
+    return _prune_terms(segs, term_ids, num_shards).select(
+        "term_id", "range_id", "doc_lo", "payload")
+
+
+def weighted_query_terms(spark: SparkSession, index_dir: str,
+                         qt: pd.DataFrame, n_docs: int,
+                         num_shards: int) -> pd.DataFrame:
+    """Attach df/idf/w to analyzed query terms via a pruned scan of the
+    terms stats table; drops terms absent from the index (they match no
+    postings) and terms with w == 0 (idf clamped to 0)."""
+    term_ids = sorted({int(t) for t in qt["term_id"].unique()})
+    stats = _prune_terms(
+        spark.read.parquet(os.path.join(index_dir, "terms")),
+        term_ids, num_shards).select("term_id", "df").collect()
+    df_map = {r["term_id"]: r["df"] for r in stats}
+    out = qt[qt["term_id"].isin(df_map.keys())].copy()
+    if out.empty:
+        out["df"] = out["idf"] = out["w"] = np.empty(0, dtype=np.float64)
+        return out
+    dfs = out["term_id"].map(df_map).to_numpy(dtype=np.float64)
+    idfs = np.maximum(np.log((n_docs - dfs + 0.5) / (dfs + 0.5)), 0.0)
+    w = np.log1p(out["qtf"].to_numpy(dtype=np.float64)) * idfs
+    out["df"] = dfs
+    out["idf"] = idfs
+    out["w"] = w
+    return out[out["w"] > 0.0]
+
+
+def _empty_result(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], RESULT_SCHEMA)
+
+
+def attach_urls(spark: SparkSession, index_dir: str,
+                topk: DataFrame) -> DataFrame:
+    """url lookup: top-k is ≤ Q·k rows — broadcast it so the (potentially
+    enormous) docs table is never shuffled."""
+    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    return (docs.join(F.broadcast(topk), "doc_id")
+                .select("query_id", "rank", "doc_id", "url", "score")
+                .orderBy("query_id", "rank"))
 
 
 def search_exact(
@@ -88,47 +171,50 @@ def search_exact(
     queries: DataFrame,
     k: int = 10,
     score_mode: str | None = None,
+    strict: bool = False,
 ) -> DataFrame:
     """→ (query_id long, rank int, doc_id long, url string, score double)."""
     manifest = Manifest(index_dir)
     config, stats = manifest.load()
     mode = score_mode or config.score_mode
+    if mode not in ("drqa", "bm25"):
+        raise ValueError(mode)
     n_docs = int(stats["n_docs"])
     avgdl = float(stats["avgdl"])
     k1, b = config.k1, config.b
 
-    q_terms = analyze_queries(queries, config)
-    # the query side is small by construction — a local collect of its
-    # distinct term ids drives scan pruning (SURVEY.md §3.2)
-    term_ids = [r["term_id"] for r in q_terms.select("term_id").distinct().collect()]
-    if not term_ids:
-        return spark.createDataFrame(
-            [], "query_id long, rank int, doc_id long, url string, score double")
+    qt = analyze_queries_driver(queries, config, strict=strict)
+    if qt.empty:
+        return _empty_result(spark)
+    wqt = weighted_query_terms(spark, index_dir, qt, n_docs,
+                               config.num_shards)
+    if wqt.empty:
+        return _empty_result(spark)
 
-    postings = _matched_postings(spark, index_dir, term_ids, config.num_shards)
-    joined = postings.join(F.broadcast(q_terms), "term_id")
+    segs = _matched_segments(spark, index_dir,
+                             sorted({int(t) for t in wqt["term_id"]}),
+                             config.num_shards)
+    qdf = spark.createDataFrame(
+        wqt[["query_id", "term_id", "w", "idf"]],
+        "query_id long, term_id long, w double, idf double")
+    joined = segs.join(F.broadcast(qdf), "term_id")
 
     if mode == "drqa":
         out_schema = "query_id long, doc_id long, contrib double"
     else:
         out_schema = "query_id long, doc_id long, w double, tf double"
 
-    def score_terms(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def score_terms(it):
         for pdf in it:
             if len(pdf) == 0:
                 continue
             outs = []
-            dfs = pdf["df"].to_numpy()
-            idfs = np.log((n_docs - dfs + 0.5) / (dfs + 0.5))
-            np.maximum(idfs, 0.0, out=idfs)
-            w_qs = np.log1p(pdf["qtf"].to_numpy().astype(np.float64)) * idfs
             for i in range(len(pdf)):
-                if w_qs[i] == 0.0:
-                    continue
                 docs, tfs = decode_postings(pdf["payload"].iloc[i])
                 tfs = tfs.astype(np.float64)
+                w = pdf["w"].iloc[i]
                 if mode == "drqa":
-                    contrib = w_qs[i] * idfs[i] * np.log1p(tfs)
+                    contrib = w * pdf["idf"].iloc[i] * np.log1p(tfs)
                     outs.append(pd.DataFrame({
                         "query_id": np.full(docs.size, pdf["query_id"].iloc[i]),
                         "doc_id": docs.astype(np.int64),
@@ -138,7 +224,7 @@ def search_exact(
                     outs.append(pd.DataFrame({
                         "query_id": np.full(docs.size, pdf["query_id"].iloc[i]),
                         "doc_id": docs.astype(np.int64),
-                        "w": np.full(docs.size, w_qs[i]),
+                        "w": np.full(docs.size, w),
                         "tf": tfs,
                     }))
             if outs:
@@ -149,7 +235,7 @@ def search_exact(
     if mode == "drqa":
         scored = contribs.groupBy("query_id", "doc_id").agg(
             F.sum("contrib").alias("score"))
-    elif mode == "bm25":
+    else:
         doclen = spark.read.parquet(os.path.join(index_dir, "doclen"))
         with_dl = contribs.join(doclen, "doc_id")
         per_term = with_dl.withColumn(
@@ -159,16 +245,9 @@ def search_exact(
         )
         scored = per_term.groupBy("query_id", "doc_id").agg(
             F.sum("contrib").alias("score"))
-    else:
-        raise ValueError(mode)
 
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id"))
     topk = (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k))
-    # url lookup: top-k is ≤ Q·k rows — broadcast it so the (potentially
-    # enormous) docs table is never shuffled
-    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
-    return (docs.join(F.broadcast(topk), "doc_id")
-                .select("query_id", "rank", "doc_id", "url", "score")
-                .orderBy("query_id", "rank"))
+    return attach_urls(spark, index_dir, topk)

@@ -1,0 +1,159 @@
+"""Doc-partitioned batch query execution (the scale path).
+
+SURVEY.md §4.1 "per-shard bounded heap + final merge": matched posting
+segments are scored WHERE THEIR DOC RANGE LIVES — one task per doc-range
+bucket holds every matched segment for its range (all query terms), so
+each document's full score is computed locally; the task emits only its
+per-query top-k candidates, and a final window over the tiny
+(n_ranges × Q × k) candidate set yields the exact global top-k.
+
+Why this scales where per-query grouping does not: a groupBy(query_id)
+plan ships every matched posting of a head term into ONE task; here the
+shuffle is keyed by range_id, so no task ever holds more than one range's
+slice of the index regardless of term df, and parallelism is n_ranges
+(set ≫ cores at build time), not n_queries.
+
+bm25 needs per-doc dl at scoring time: it is cogrouped in as the per-range
+compressed dl blobs written at build (index/build.py doclen_seg) — one
+small cell per (range, chunk), never a driver-side N-row materialization.
+
+Exactness: per-range scores are complete (a doc's postings for every term
+live in its range), and the global top-k is contained in the union of
+per-range top-ks, so the final merge is exact — differential tests assert
+identity with search_exact on every fixture.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+import pyspark.sql.functions as F
+
+from word2doc_spark.index.manifest import Manifest
+from word2doc_spark.index.postings import decode_postings
+from word2doc_spark.query.exact import (
+    _empty_result, _matched_segments, analyze_queries_driver, attach_urls,
+    weighted_query_terms,
+)
+
+CAND_SCHEMA = "query_id long, doc_id long, score double"
+
+
+class SparseDL:
+    """Doc-length lookup over the decoded per-range dl arrays: behaves like
+    ``dl[doc_ids]`` on a dense array but stores only docs with dl > 0
+    (every doc that has any posting does)."""
+
+    __slots__ = ("docs", "vals")
+
+    def __init__(self, docs: np.ndarray, vals: np.ndarray):
+        self.docs = docs
+        self.vals = vals
+
+    def __getitem__(self, key):
+        idx = np.searchsorted(self.docs, key)
+        return self.vals[idx]
+
+
+def decode_dl_blobs(dlpdf: pd.DataFrame) -> SparseDL | None:
+    if dlpdf is None or len(dlpdf) == 0:
+        return None
+    parts = [decode_postings(bytes(p)) for p in
+             dlpdf.sort_values("doc_lo")["payload"]]
+    docs = np.concatenate([d for d, _ in parts])
+    vals = np.concatenate([v for _, v in parts]).astype(np.float64)
+    return SparseDL(docs, vals)
+
+
+def _score_range(pdf: pd.DataFrame, dl, k: int, mode: str, k1: float,
+                 b: float, avgdl: float, topk_fn) -> pd.DataFrame:
+    """Score one doc range: group matched segments per query, chain each
+    term's segments in doc order, run the DAAT kernel, emit candidates."""
+    out_q, out_d, out_s = [], [], []
+    for qid, grp in pdf.groupby("query_id", sort=False):
+        term_rows = []
+        for _tid, tg in grp.groupby("term_id", sort=False):
+            if len(tg) > 1:
+                tg = tg.sort_values("doc_lo")
+            term_rows.append((float(tg["w"].iloc[0]),
+                              float(tg["idf"].iloc[0]),
+                              [bytes(p) for p in tg["payload"]]))
+        for doc, score in topk_fn(term_rows, k, mode, k1, b, avgdl, dl):
+            out_q.append(qid)
+            out_d.append(doc)
+            out_s.append(score)
+    return pd.DataFrame({
+        "query_id": np.asarray(out_q, dtype=np.int64),
+        "doc_id": np.asarray(out_d, dtype=np.int64),
+        "score": np.asarray(out_s, dtype=np.float64),
+    })
+
+
+def search_doc_partitioned(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int,
+    score_mode: str | None,
+    topk_fn,
+    strict: bool = False,
+) -> DataFrame:
+    """Shared driver for the fast and WAND paths. topk_fn: DAAT kernel
+    (term_rows=[(w, idf, [payload,...])], k, mode, k1, b, avgdl, dl) →
+    [(doc_id, score)] ordered (score desc, doc_id asc)."""
+    manifest = Manifest(index_dir)
+    config, stats = manifest.load()
+    mode = score_mode or config.score_mode
+    if mode not in ("drqa", "bm25"):
+        raise ValueError(mode)
+    n_docs = int(stats["n_docs"])
+    avgdl = float(stats["avgdl"])
+    k1, b = config.k1, config.b
+
+    qt = analyze_queries_driver(queries, config, strict=strict)
+    if qt.empty:
+        return _empty_result(spark)
+    wqt = weighted_query_terms(spark, index_dir, qt, n_docs,
+                               config.num_shards)
+    if wqt.empty:
+        return _empty_result(spark)
+
+    segs = _matched_segments(spark, index_dir,
+                             sorted({int(t) for t in wqt["term_id"]}),
+                             config.num_shards)
+    qdf = spark.createDataFrame(
+        wqt[["query_id", "term_id", "w", "idf"]],
+        "query_id long, term_id long, w double, idf double")
+    joined = (segs.join(F.broadcast(qdf), "term_id")
+              .select("range_id", "query_id", "term_id", "w", "idf",
+                      "doc_lo", "payload"))
+
+    if mode == "bm25":
+        dlseg = spark.read.parquet(
+            os.path.join(index_dir, "doclen_seg")).select(
+            "range_id", "doc_lo", "payload")
+
+        def run(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if len(left) == 0:
+                return pd.DataFrame(
+                    {"query_id": [], "doc_id": [], "score": []})
+            return _score_range(left, decode_dl_blobs(right), k, mode,
+                                k1, b, avgdl, topk_fn)
+
+        cand = (joined.groupby("range_id")
+                .cogroup(dlseg.groupby("range_id"))
+                .applyInPandas(run, CAND_SCHEMA))
+    else:
+        def run1(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _score_range(pdf, None, k, mode, k1, b, avgdl, topk_fn)
+
+        cand = joined.groupBy("range_id").applyInPandas(run1, CAND_SCHEMA)
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    topk = (cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k))
+    return attach_urls(spark, index_dir, topk)

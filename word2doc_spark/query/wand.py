@@ -1,58 +1,68 @@
 """Block-max WAND top-k: document-at-a-time scoring with block skipping.
 
-The fast query path (SURVEY.md §7 M6). The reference scores every matching
-doc via a full sparse dot product (tfidf_doc_ranker.py:62-63); WAND visits
-only docs whose term-upper-bound sum can beat the running k-th score θ, and
-the *block-max* refinement (Ding & Suel, SIGMOD'11 — public literature)
-skips whole compressed blocks whose block-level bound cannot beat θ,
-without decoding them.
+The reference scores every matching doc via a full sparse dot product
+(tfidf_doc_ranker.py:62-63); WAND visits only docs whose term-upper-bound
+sum can beat the running k-th score θ, and the *block-max* refinement
+(Ding & Suel, SIGMOD'11 — public literature) skips whole compressed blocks
+whose block-level bound cannot beat θ, without decoding them.
 
-Distribution shape: queries are the parallel axis — after the same pruned
-shard scan + broadcast join as the exact path, ``applyInPandas`` over
-``groupBy(query_id)`` runs one WAND instance per query. Results are exact:
-differential tests assert identity with the exact path on every fixture.
+Distribution shape: doc ranges are the parallel axis (query/ranges.py) —
+each range task runs one WAND instance per query over its local slice of
+the matched segments (a term's segments chain into one cursor), keeps a
+bounded heap of k candidates, and the global merge is exact. θ restarts
+per range (slightly less pruning than a single global cursor, in exchange
+for bounded tasks at any term df).
 
 Upper bounds per block (monotone score contributions, §2.K):
 * drqa : w_q · idf · ln(1+max_tf)                      (tight)
 * bm25 : w_q · max_tf(k1+1)/(max_tf + k1(1−b))         (dl→0, conservative)
 
-bm25 scoring needs per-doc dl at candidate-evaluation time; it is served
-from a broadcast uint32 array (4 B/doc). That holds to ~10^9 docs per
-executor; beyond that production would switch to quantized impact scores
-stored in-block (documented limit, not needed for the rank-identity gate).
+bm25 per-doc dl is served range-locally from the decoded doclen_seg blobs
+(SparseDL searchsorted lookup) — no driver-side N-row materialization and
+no broadcast that grows with corpus size.
 """
 
 from __future__ import annotations
 
 import heapq
-import os
-from typing import Iterator
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-import pyspark.sql.functions as F
 
-from word2doc_spark.index.manifest import Manifest
 from word2doc_spark.index.postings import block_directory, decode_block
-from word2doc_spark.query.exact import _matched_postings, analyze_queries
-
-RESULT_SCHEMA = ("query_id long, rank int, doc_id long, score double")
 
 
 class _Cursor:
-    """Lazy block-decoding posting cursor for one query term."""
+    """Lazy block-decoding posting cursor for one query term, chaining the
+    term's doc-ascending disjoint segments into one logical list."""
 
-    __slots__ = ("payload", "offs", "counts", "lasts", "block_ubs", "ub",
-                 "w", "idf", "bi", "docs", "tfs", "pos", "exhausted",
-                 "_nblocks", "_prev_last")
+    __slots__ = ("payloads", "seg_of", "offs", "lasts", "prevs",
+                 "block_ubs", "ub", "w", "idf", "bi", "docs", "tfs", "pos",
+                 "exhausted", "_nblocks")
 
-    def __init__(self, payload: bytes, w: float, idf: float,
-                 block_ub_fn) -> None:
-        self.payload = payload
-        self.offs, self.counts, self.lasts, maxtfs = block_directory(payload)
+    def __init__(self, payloads, w: float, idf: float, block_ub_fn) -> None:
+        if isinstance(payloads, (bytes, bytearray)):
+            payloads = [payloads]
+        self.payloads = payloads
+        seg_of, offs, lasts, prevs, maxtfs = [], [], [], [], []
+        for si, payload in enumerate(payloads):
+            o, _c, l, m = block_directory(payload)
+            seg_of.append(np.full(len(o), si, dtype=np.int64))
+            offs.append(o)
+            lasts.append(l)
+            # delta chains restart per segment: block j's decode base is
+            # block j-1's last doc WITHIN the same segment, 0 at the start
+            p = np.zeros(len(o), dtype=np.uint64)
+            p[1:] = l[:-1]
+            prevs.append(p)
+            maxtfs.append(m)
+        self.seg_of = np.concatenate(seg_of)
+        self.offs = np.concatenate(offs)
+        self.lasts = np.concatenate(lasts)
+        self.prevs = np.concatenate(prevs)
         self._nblocks = len(self.offs)
-        self.block_ubs = block_ub_fn(maxtfs.astype(np.float64))
+        self.block_ubs = block_ub_fn(
+            np.concatenate(maxtfs).astype(np.float64))
         self.ub = float(self.block_ubs.max())
         self.w = w
         self.idf = idf
@@ -67,9 +77,9 @@ class _Cursor:
         if bi >= self._nblocks:
             self.exhausted = True
             return
-        prev_last = int(self.lasts[bi - 1]) if bi > 0 else 0
-        self.docs, self.tfs = decode_block(self.payload, int(self.offs[bi]),
-                                           prev_last)
+        self.docs, self.tfs = decode_block(
+            self.payloads[self.seg_of[bi]], int(self.offs[bi]),
+            int(self.prevs[bi]))
         self.bi = bi
         self.pos = 0
 
@@ -118,18 +128,19 @@ class _Cursor:
 
 
 def wand_topk(
-    term_rows: list[tuple[float, float, bytes]],
+    term_rows,
     k: int,
     mode: str,
     k1: float,
     b: float,
     avgdl: float,
-    dl: np.ndarray | None,
+    dl,
 ) -> list[tuple[int, float]]:
     """One query's exact top-k via block-max WAND.
 
-    term_rows: (w_q, idf, payload) per matched term. Returns
-    [(doc_id, score)] ordered by (score desc, doc_id asc).
+    term_rows: (w_q, idf, payload-or-[payloads]) per matched term; dl is a
+    dense array, SparseDL, or None. Returns [(doc_id, score)] ordered by
+    (score desc, doc_id asc).
     """
     cursors: list[_Cursor] = []
     for w, idf, payload in term_rows:
@@ -228,53 +239,10 @@ def search_wand(
     queries: DataFrame,
     k: int = 10,
     score_mode: str | None = None,
+    strict: bool = False,
 ) -> DataFrame:
     """→ (query_id, rank, doc_id, url, score); identical output contract
     (and, by differential test, identical rows) to ``search_exact``."""
-    manifest = Manifest(index_dir)
-    config, stats = manifest.load()
-    mode = score_mode or config.score_mode
-    n_docs = int(stats["n_docs"])
-    avgdl = float(stats["avgdl"])
-    k1, b = config.k1, config.b
-
-    q_terms = analyze_queries(queries, config)
-    term_ids = [r["term_id"] for r in q_terms.select("term_id").distinct().collect()]
-    if not term_ids:
-        return spark.createDataFrame(
-            [], "query_id long, rank int, doc_id long, url string, score double")
-    postings = _matched_postings(spark, index_dir, term_ids, config.num_shards)
-    joined = postings.join(F.broadcast(q_terms), "term_id") \
-                     .select("query_id", "qtf", "df", "payload")
-
-    dl_bc = None
-    if mode == "bm25":
-        doclen = spark.read.parquet(os.path.join(index_dir, "doclen"))
-        pdf = doclen.toPandas()
-        dl_arr = np.zeros(n_docs, dtype=np.uint32)
-        dl_arr[pdf["doc_id"].to_numpy()] = pdf["dl"].to_numpy()
-        dl_bc = spark.sparkContext.broadcast(dl_arr)
-
-    def run_query(pdf: pd.DataFrame) -> pd.DataFrame:
-        qid = int(pdf["query_id"].iloc[0])
-        dfs = pdf["df"].to_numpy().astype(np.float64)
-        idfs = np.maximum(np.log((n_docs - dfs + 0.5) / (dfs + 0.5)), 0.0)
-        w_qs = np.log1p(pdf["qtf"].to_numpy().astype(np.float64)) * idfs
-        rows = [
-            (float(w_qs[i]), float(idfs[i]), pdf["payload"].iloc[i])
-            for i in range(len(pdf)) if w_qs[i] > 0.0
-        ]
-        dl = dl_bc.value if dl_bc is not None else None
-        top = wand_topk(rows, k, mode, k1, b, avgdl, dl)
-        return pd.DataFrame({
-            "query_id": np.full(len(top), qid, dtype=np.int64),
-            "rank": np.arange(1, len(top) + 1, dtype=np.int32),
-            "doc_id": np.array([d for d, _ in top], dtype=np.int64),
-            "score": np.array([s for _, s in top], dtype=np.float64),
-        })
-
-    topk = joined.groupBy("query_id").applyInPandas(run_query, RESULT_SCHEMA)
-    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
-    return (docs.join(F.broadcast(topk), "doc_id")
-                .select("query_id", "rank", "doc_id", "url", "score")
-                .orderBy("query_id", "rank"))
+    from word2doc_spark.query.ranges import search_doc_partitioned
+    return search_doc_partitioned(spark, index_dir, queries, k, score_mode,
+                                  wand_topk, strict=strict)

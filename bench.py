@@ -10,7 +10,7 @@ Runs the engine's headline phases at $SPARK_GRAFT_SF_DIR (default
 Phases:
   build_docs      — full index build over the sf documents table (as pages)
   build_synth30k  — index build over a 30k-doc synthetic HTML corpus
-                    (extraction + analysis + salted shard encode)
+                    (extraction + analysis + range-segmented shard encode)
   query_exact     — 60-query DrQA batch, exact path, k=10
   query_wand      — same batch, block-max WAND path
   query_bm25      — same batch, bm25 exact

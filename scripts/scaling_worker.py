@@ -1,8 +1,18 @@
 #!/usr/bin/env python
 """One scaling-bench run at a fixed parallelism: build an index from a
-pre-generated pages parquet, then run a batch-query phase; print one JSON
-line with phase wall-times. Invoked by bench_scaling.py in a fresh process
-per parallelism level (fresh JVM, cold Spark state, same input)."""
+pre-generated pages parquet and/or run batch-query phases against it;
+print one JSON line with phase wall-times. Invoked by bench_scaling.py in
+a fresh process per (parallelism, phase) — fresh JVM, cold Spark state,
+same input.
+
+--phase build  : build the index at --index-dir (wiped first), report
+                 build_s / stage_s / shard_s
+--phase query  : run wand/fast/exact batches against an existing index
+--phase all    : both (legacy single-process mode)
+
+The index layout is parallelism-independent (identical content at any
+core count — tested), so query phases at N and 4N may share one index.
+"""
 
 import argparse
 import itertools
@@ -39,6 +49,11 @@ def main():
     p.add_argument("--corpus", required=True)
     p.add_argument("--n-queries", type=int, default=500)
     p.add_argument("--shards", type=int, default=4)
+    p.add_argument("--n-ranges", type=int, default=128)
+    p.add_argument("--phase", default="all", choices=["all", "build", "query"])
+    p.add_argument("--index-dir", default=None,
+                   help="persistent index location (build writes, query "
+                        "reads); default = temp dir (phase=all only)")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -59,57 +74,69 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    cfg = IndexConfig(hash_size=2 ** 24, num_shards=args.shards)
-    work = tempfile.mkdtemp(prefix=f"w2d_scal_{args.cpus}_")
-    out: dict = {"cpus": args.cpus}
+    # n_ranges fixed across parallelism levels (a dataset-layout property);
+    # 128 keeps doc-partitioned query phases load-balanced at 4N cores
+    cfg = IndexConfig(hash_size=2 ** 24, num_shards=args.shards,
+                      n_ranges=args.n_ranges)
+    work = None
+    if args.index_dir:
+        idx = args.index_dir
+    else:
+        work = tempfile.mkdtemp(prefix=f"w2d_scal_{args.cpus}_")
+        idx = os.path.join(work, "idx")
+    out: dict = {"cpus": args.cpus, "phase": args.phase}
     try:
-        pages = spark.read.parquet(args.corpus)
-        n_docs = pages.count()
-        out["n_docs"] = n_docs
+        if args.phase in ("all", "build"):
+            if args.index_dir:
+                shutil.rmtree(idx, ignore_errors=True)
+            pages = spark.read.parquet(args.corpus)
+            out["n_docs"] = pages.count()
+            t0 = time.time()
+            build_index(spark, pages, idx, cfg, input_token="scaling")
+            out["build_s"] = round(time.time() - t0, 2)
+            from word2doc_spark.index.manifest import Manifest
+            man = Manifest(idx)
+            marker = man.read_marker("stage")
+            out["stage_s"] = round(marker["wall_s"], 2)
+            out["stage_sub"] = marker.get("sub_walls", {})
+            out["shard_s"] = [round(r["wall_s"], 2)
+                              for r in man.shard_metrics()]
 
-        t0 = time.time()
-        build_index(spark, pages, os.path.join(work, "idx"), cfg,
-                    input_token="scaling")
-        out["build_s"] = round(time.time() - t0, 2)
-        from word2doc_spark.index.manifest import Manifest
-        man = Manifest(os.path.join(work, "idx"))
-        out["stage_s"] = round(man.read_marker("stage")["wall_s"], 2)
-        out["shard_s"] = [round(r["wall_s"], 2) for r in man.shard_metrics()]
+        if args.phase in ("all", "query"):
+            if "n_docs" not in out:
+                from word2doc_spark.index.manifest import Manifest
+                out["n_docs"] = Manifest(idx).load()[1]["n_docs"]
+            # WAND phase: topical (dense-posting) queries
+            qdf = spark.createDataFrame(scaling_queries(args.n_queries),
+                                        "query_id long, query string")
+            out["n_queries"] = args.n_queries
+            t0 = time.time()
+            search_wand(spark, idx, qdf, k=10, score_mode="drqa").count()
+            out["query_wand_s"] = round(time.time() - t0, 2)
 
-        # WAND phase: topical (dense-posting) queries — per-query DAAT work
-        # is the dominant cost and parallelizes across queries
-        qdf = spark.createDataFrame(scaling_queries(args.n_queries),
-                                    "query_id long, query string")
-        out["n_queries"] = args.n_queries
-        t0 = time.time()
-        search_wand(spark, os.path.join(work, "idx"), qdf, k=10,
-                    score_mode="drqa").count()
-        out["query_wand_s"] = round(time.time() - t0, 2)
+            # fast-DAAT phase: large mixed batch
+            n_fast = args.n_queries * 20
+            fq = spark.createDataFrame(scaling_queries(n_fast),
+                                       "query_id long, query string")
+            out["n_queries_fast"] = n_fast
+            t0 = time.time()
+            search_fast(spark, idx, fq, k=10, score_mode="drqa").count()
+            out["query_fast_s"] = round(time.time() - t0, 2)
 
-        # fast-DAAT phase: large mixed batch (vectorized per-query scoring)
-        n_fast = args.n_queries * 20
-        fq = spark.createDataFrame(scaling_queries(n_fast),
-                                   "query_id long, query string")
-        out["n_queries_fast"] = n_fast
-        t0 = time.time()
-        search_fast(spark, os.path.join(work, "idx"), fq, k=10,
-                    score_mode="drqa").count()
-        out["query_fast_s"] = round(time.time() - t0, 2)
-
-        # exact join path: correctness twin; timed on the small batch only
-        # (it shuffles every matched posting — not a scaling phase)
-        t0 = time.time()
-        search_exact(spark, os.path.join(work, "idx"), qdf, k=10,
-                     score_mode="drqa").count()
-        out["query_exact_s"] = round(time.time() - t0, 2)
+            # exact join path: correctness twin; timed on the small batch
+            # only (it shuffles every matched posting — not a scaling phase)
+            t0 = time.time()
+            search_exact(spark, idx, qdf, k=10, score_mode="drqa").count()
+            out["query_exact_s"] = round(time.time() - t0, 2)
     finally:
-        shutil.rmtree(work, ignore_errors=True)
+        if work:
+            shutil.rmtree(work, ignore_errors=True)
         spark.stop()
     line = json.dumps(out)
-    # insurance copy: the orchestrator holds results in memory until the
-    # end; persist each run so a killed orchestration loses nothing
-    with open(f"/tmp/w2d_scaling_result_{args.cpus}_{int(time.time())}.json",
-              "w") as f:
+    # insurance copy: persist each run so a killed orchestration loses
+    # nothing (bench_scaling --reuse reads these back)
+    with open(f"/tmp/w2d_scaling_result_{args.cpus}_{args.phase}_"
+              f"{int(time.time())}.json", "w") as f:
         f.write(line + "\n")
     print(line)
 

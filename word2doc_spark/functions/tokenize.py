@@ -173,7 +173,7 @@ class Analyzer:
             v = verdict.get(w)
             if v is None:
                 v = is_filtered_word(w)
-                if len(verdict) < 4_000_000:
+                if len(verdict) < 1_000_000:
                     verdict[w] = v
             kept[i] = not v
         out = [w for w, k in zip(words, kept) if k]
@@ -195,8 +195,11 @@ class Analyzer:
     def _maybe_reset(self) -> None:
         """Bound executor memory: flush caches together when the word table
         is full (bigram keys embed word ids — they must never outlive the
-        word table). Zipfian text re-warms the head vocabulary instantly."""
-        if len(self._wid) > 4_000_000:
+        word table). Zipfian text re-warms the head vocabulary instantly.
+        Caps are sized for ~32 reused python workers per host: the caches
+        are process-lifetime (shared_analyzer), so per-worker bytes times
+        worker count must stay well under executor memory."""
+        if len(self._wid) > 1_000_000 or len(self._bigram_term) > 1_500_000:
             self._wid = {}
             self._wid_strings = []
             self._wid_kept = np.empty(1024, dtype=bool)
@@ -276,7 +279,7 @@ class Analyzer:
                     for j, i in enumerate(miss_pos):
                         t = int(ids[j])
                         terms[i] = t
-                        if len(bt) < 8_000_000:
+                        if len(bt) < 1_500_000:
                             bt[klist[i]] = t
                 parts.append(terms)
         return np.concatenate(parts) if len(parts) > 1 else parts[0]
@@ -305,6 +308,26 @@ class Analyzer:
                 term_lists.append(uniq)
                 tf_lists.append(counts.astype(np.int32))
         return term_lists, tf_lists
+
+
+_ANALYZER_CACHE: dict = {}
+
+
+def shared_analyzer(ngram: int = 2, hash_size: int = 2 ** 24,
+                    tokenizer: str = "simple") -> Analyzer:
+    """Process-lifetime Analyzer singleton. Spark reuses python workers
+    across tasks (spark.python.worker.reuse=true), so the word/gram caches
+    warm once per executor PROCESS instead of once per partition — at high
+    partition counts a fresh per-partition analyzer re-interns the whole
+    hot vocabulary every task, which caps the analysis stage's scaling."""
+    key = (ngram, hash_size, tokenizer)
+    a = _ANALYZER_CACHE.get(key)
+    if a is None:
+        if len(_ANALYZER_CACHE) >= 4:   # bound worker memory across configs
+            _ANALYZER_CACHE.clear()
+        a = _ANALYZER_CACHE[key] = Analyzer(ngram=ngram, hash_size=hash_size,
+                                            tokenizer=tokenizer)
+    return a
 
 
 def analyze_query_terms(

@@ -78,8 +78,9 @@ def analyze_terms(docs: DataFrame, config: IndexConfig) -> DataFrame:
     ngram, hash_size = config.ngram, config.hash_size
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from word2doc_spark.functions.tokenize import Analyzer
-        analyzer = Analyzer(ngram=ngram, hash_size=hash_size)
+        from word2doc_spark.functions.tokenize import shared_analyzer
+        analyzer = shared_analyzer(ngram=ngram, hash_size=hash_size,
+                                   tokenizer=config.analyzer)
         for pdf in it:
             if len(pdf) == 0:
                 continue

@@ -292,6 +292,13 @@ def build_index(
     else:
         from pyspark import StorageLevel
         t0 = time.time()
+        sub: dict[str, float] = {}
+
+        def _lap(name: str, t_prev: float) -> float:
+            now = time.time()
+            sub[name] = round(now - t_prev, 2)
+            return now
+
         ext = extracted_docs(pages, lang_filter, preprocess=preprocess)
         ranged = (ext.repartitionByRange(sp, "url")
                      .sortWithinPartitions("url")
@@ -300,6 +307,7 @@ def build_index(
         counts = {r["_pid"]: r["cnt"] for r in
                   ranged.groupBy("_pid").agg(F.count("*").alias("cnt"))
                         .collect()}
+        t_sub = _lap("extract_count", t0)
         offsets: dict[int, int] = {}
         acc = 0
         for pid in sorted(counts):
@@ -325,6 +333,7 @@ def build_index(
         (ranged.select("url", "_pid")
                .mapInPandas(ids_only, "doc_id long, url string")
                .write.mode("overwrite").parquet(docs_path))
+        t_sub = _lap("doc_ids", t_sub)
 
         ngram, hash_size = config.ngram, config.hash_size
         analyzer_name = config.analyzer
@@ -332,9 +341,9 @@ def build_index(
         def ids_and_analyze(it):
             import numpy as np  # noqa: F811
             import pandas as pd  # noqa: F811
-            from word2doc_spark.functions.tokenize import Analyzer
-            analyzer = Analyzer(ngram=ngram, hash_size=hash_size,
-                                tokenizer=analyzer_name)
+            from word2doc_spark.functions.tokenize import shared_analyzer
+            analyzer = shared_analyzer(ngram=ngram, hash_size=hash_size,
+                                       tokenizer=analyzer_name)
             pos = None
             for pdf in it:
                 if len(pdf) == 0:
@@ -362,6 +371,7 @@ def build_index(
                              F.pmod(F.col("term_id"), F.lit(config.num_shards))))
         (terms.write.mode("overwrite")
               .partitionBy("shard_id").parquet(stage_path))
+        t_sub = _lap("analyze_stage", t_sub)
         # doc lengths (bm25 dl): one cheap agg over the staged terms, stored
         # twice — plain rows (exact path join, avgdl) and per-range blobs
         # (doc-partitioned scoring ships one small cell per range, never a
@@ -369,6 +379,7 @@ def build_index(
         staged = spark.read.parquet(stage_path)
         (staged.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
                .write.mode("overwrite").parquet(doclen_path))
+        t_sub = _lap("doclen", t_sub)
         doclen = spark.read.parquet(doclen_path)
         dl_keyed = doclen.withColumn(
             "range_id", (F.col("doc_id") / F.lit(range_width)).cast("int")
@@ -384,9 +395,11 @@ def build_index(
                                               config.block_size),
                               schema=DL_SEG_SCHEMA)
                  .write.mode("overwrite").parquet(doclen_seg_path))
+        t_sub = _lap("doclen_seg", t_sub)
         ranged.unpersist()
         manifest.write_marker("stage", fp, wall_s=time.time() - t0,
-                              n_docs=n_docs, range_width=range_width)
+                              n_docs=n_docs, range_width=range_width,
+                              sub_walls=sub)
 
     if n_docs is None:
         n_docs = spark.read.parquet(docs_path).count()

@@ -56,9 +56,9 @@ def analyze_queries(queries: DataFrame, config: IndexConfig) -> DataFrame:
     tokenizer = config.analyzer
 
     def run(it):
-        from word2doc_spark.functions.tokenize import Analyzer
-        analyzer = Analyzer(ngram=ngram, hash_size=hash_size,
-                            tokenizer=tokenizer)
+        from word2doc_spark.functions.tokenize import shared_analyzer
+        analyzer = shared_analyzer(ngram=ngram, hash_size=hash_size,
+                                   tokenizer=tokenizer)
         for pdf in it:
             if len(pdf) == 0:
                 continue

@@ -71,16 +71,33 @@ def decode_dl_blobs(dlpdf: pd.DataFrame) -> SparseDL | None:
 def _score_range(pdf: pd.DataFrame, dl, k: int, mode: str, k1: float,
                  b: float, avgdl: float, topk_fn) -> pd.DataFrame:
     """Score one doc range: group matched segments per query, chain each
-    term's segments in doc order, run the DAAT kernel, emit candidates."""
+    term's segments in doc order, run the DAAT kernel, emit candidates.
+    Grouping is one lexsort + numpy boundary walks (no per-group pandas
+    frames — the hot loop runs once per (query, term), not per row)."""
+    qids = pdf["query_id"].to_numpy()
+    tids = pdf["term_id"].to_numpy()
+    dlos = pdf["doc_lo"].to_numpy()
+    order = np.lexsort((dlos, tids, qids))
+    qids, tids = qids[order], tids[order]
+    ws = pdf["w"].to_numpy()[order]
+    idfs = pdf["idf"].to_numpy()[order]
+    payloads = pdf["payload"].to_numpy()[order]
+    n = len(pdf)
+    q_change = np.flatnonzero(
+        np.concatenate(([True], qids[1:] != qids[:-1])))
+    q_ends = np.concatenate((q_change[1:], [n]))
+    t_change = np.concatenate(
+        ([True], (qids[1:] != qids[:-1]) | (tids[1:] != tids[:-1])))
     out_q, out_d, out_s = [], [], []
-    for qid, grp in pdf.groupby("query_id", sort=False):
-        term_rows = []
-        for _tid, tg in grp.groupby("term_id", sort=False):
-            if len(tg) > 1:
-                tg = tg.sort_values("doc_lo")
-            term_rows.append((float(tg["w"].iloc[0]),
-                              float(tg["idf"].iloc[0]),
-                              [bytes(p) for p in tg["payload"]]))
+    for qs, qe in zip(q_change, q_ends):
+        starts = qs + np.flatnonzero(t_change[qs:qe])
+        ends = np.concatenate((starts[1:], [qe]))
+        term_rows = [
+            (float(ws[s]), float(idfs[s]),
+             [bytes(p) for p in payloads[s:e]])
+            for s, e in zip(starts, ends)
+        ]
+        qid = int(qids[qs])
         for doc, score in topk_fn(term_rows, k, mode, k1, b, avgdl, dl):
             out_q.append(qid)
             out_d.append(doc)
@@ -127,14 +144,24 @@ def search_doc_partitioned(
     qdf = spark.createDataFrame(
         wqt[["query_id", "term_id", "w", "idf"]],
         "query_id long, term_id long, w double, idf double")
+    # sub-partition the scoring shuffle by query bucket too: join output is
+    # already one row per (query, segment), so extra buckets add NO shuffle
+    # volume — they turn n_ranges straggler-bound tasks into
+    # n_ranges × n_buckets balanced ones for large batches
+    n_buckets = int(min(32, max(1, wqt["query_id"].nunique() // 32)))
     joined = (segs.join(F.broadcast(qdf), "term_id")
-              .select("range_id", "query_id", "term_id", "w", "idf",
+              .withColumn("qb", F.pmod(F.col("query_id"), F.lit(n_buckets))
+                          .cast("int"))
+              .select("range_id", "qb", "query_id", "term_id", "w", "idf",
                       "doc_lo", "payload"))
 
     if mode == "bm25":
-        dlseg = spark.read.parquet(
-            os.path.join(index_dir, "doclen_seg")).select(
-            "range_id", "doc_lo", "payload")
+        # per-range dl blobs replicated once per query bucket (dl is a tiny
+        # fraction of segment bytes, so ×n_buckets stays negligible)
+        dlseg = (spark.read.parquet(os.path.join(index_dir, "doclen_seg"))
+                 .select("range_id", "doc_lo", "payload")
+                 .withColumn("qb", F.explode(F.array(
+                     *[F.lit(i).cast("int") for i in range(n_buckets)]))))
 
         def run(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             if len(left) == 0:
@@ -143,14 +170,15 @@ def search_doc_partitioned(
             return _score_range(left, decode_dl_blobs(right), k, mode,
                                 k1, b, avgdl, topk_fn)
 
-        cand = (joined.groupby("range_id")
-                .cogroup(dlseg.groupby("range_id"))
+        cand = (joined.groupby("range_id", "qb")
+                .cogroup(dlseg.groupby("range_id", "qb"))
                 .applyInPandas(run, CAND_SCHEMA))
     else:
         def run1(pdf: pd.DataFrame) -> pd.DataFrame:
             return _score_range(pdf, None, k, mode, k1, b, avgdl, topk_fn)
 
-        cand = joined.groupBy("range_id").applyInPandas(run1, CAND_SCHEMA)
+        cand = (joined.groupBy("range_id", "qb")
+                .applyInPandas(run1, CAND_SCHEMA))
 
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id"))

@@ -36,6 +36,26 @@ def squad_queries(spark: SparkSession, path: str) -> DataFrame:
               .select("query_id", "query", "label", "squad_id")
 
 
+def trim_queries_rake(queries: DataFrame,
+                      query_col: str = "query") -> DataFrame:
+    """Reference query-set prep step (pre_process.py:92): replace each
+    question with its top RAKE phrase, lowercased — 'take most relevant
+    part of query'. Arrow-batched; see functions/rake.py for the
+    algorithm-parity note."""
+    import pandas as pd
+
+    def run(it):
+        from word2doc_spark.functions.rake import rake_top_phrase
+        for pdf in it:
+            if len(pdf):
+                pdf = pdf.copy()
+                pdf[query_col] = [rake_top_phrase(q or "")
+                                  for q in pdf[query_col]]
+            yield pdf
+
+    return queries.mapInPandas(run, schema=queries.schema)
+
+
 def dedup_substring_questions(queries: DataFrame) -> DataFrame:
     """Reference B6 semantics (pre_process.py:94-98,113-118): drop a
     question when another kept question is a substring of it; prefer the

@@ -299,7 +299,12 @@ def build_index(
             sub[name] = round(now - t_prev, 2)
             return now
 
-        ext = extracted_docs(pages, lang_filter, preprocess=preprocess)
+        # materialize extraction ONCE: repartitionByRange runs a sampling
+        # job first, and its lineage includes the extract UDF (the
+        # empty-text filter depends on extracted text) — without this cache
+        # the python extraction executes twice
+        ext = (extracted_docs(pages, lang_filter, preprocess=preprocess)
+               .persist(StorageLevel.MEMORY_AND_DISK))
         ranged = (ext.repartitionByRange(sp, "url")
                      .sortWithinPartitions("url")
                      .withColumn("_pid", F.spark_partition_id())
@@ -397,6 +402,7 @@ def build_index(
                  .write.mode("overwrite").parquet(doclen_seg_path))
         t_sub = _lap("doclen_seg", t_sub)
         ranged.unpersist()
+        ext.unpersist()
         manifest.write_marker("stage", fp, wall_s=time.time() - t0,
                               n_docs=n_docs, range_width=range_width,
                               sub_walls=sub)

@@ -235,6 +235,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _emb(s, d).filter(F.col("vec_id") < 5)
                   .select(F.col("vec_id").alias("query_vec_id"), "embedding"),
         k=5, n_planes=_LSH_PLANES, seed=_LSH_SEED, n_tables=_LSH_TABLES)
+    # embedding-cosine near-dup sweep (threshold tuned to the random-vector
+    # fixture, whose max pairwise cosine is ~0.4)
+    q["emb_near_dup"] = lambda s, d: S.embedding_near_dupes(
+        _emb(s, d), threshold=0.3, n_planes=_LSH_PLANES, seed=_LSH_SEED,
+        n_tables=2)
 
     # --- label extraction (C10 parity) ---
     def para_label(s, d):
@@ -431,6 +436,42 @@ scored AS (
               JOIN q ON q.query_vec_id = c.query_vec_id
 )
 SELECT query_vec_id, rank, neighbor_id, cosine FROM scored WHERE rank <= 5"""
+
+
+def _emb_near_dup_sql(threshold: float = 0.3, n_tables: int = 2) -> str:
+    """DuckDB twin of emb_near_dup: same seeded hyperplane buckets as
+    _ann_lsh_sql, self-join, exact-cosine threshold."""
+    from word2doc_spark.ops.similarity import random_hyperplanes
+
+    def bucket(col: str, planes) -> str:
+        terms = []
+        for i, plane in enumerate(planes):
+            arr = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+            terms.append(f"(CASE WHEN list_inner_product({col}, {arr}) > 0 "
+                         f"THEN {1 << i} ELSE 0 END)")
+        return " + ".join(terms)
+
+    parts = []
+    for t in range(n_tables):
+        planes = random_hyperplanes(_EMB_DIM, _LSH_PLANES,
+                                    _LSH_SEED + 101 * t)
+        parts.append(
+            f"SELECT vec_id, {t} AS tbl, {bucket('e', planes)} AS bucket "
+            f"FROM v")
+    vb = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+vb AS ({vb}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM vb a JOIN vb b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                      AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+       round(list_cosine_similarity(va.e, vb2.e), 6) AS cosine
+FROM cand c JOIN v va ON va.vec_id = c.vec_a
+            JOIN v vb2 ON vb2.vec_id = c.vec_b
+WHERE list_cosine_similarity(va.e, vb2.e) >= {threshold}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -654,6 +695,7 @@ SELECT d.doc_id, coalesce(sim.simhash, 0)::BIGINT AS simhash
 FROM documents d LEFT JOIN sim ON sim.doc_id = d.doc_id"""
 
     o["ann_lsh_topk"] = _ann_lsh_sql()
+    o["emb_near_dup"] = _emb_near_dup_sql()
 
     o["title_sanitize"] = r"""
 WITH t AS (

@@ -190,3 +190,22 @@ def test_lsh_multi_table_recall(vectors):
     got = {(r["query_vec_id"], r["neighbor_id"]) for r in lsh}
     recall = len(want & got) / len(want)
     assert recall >= 0.8, recall
+
+
+def test_embedding_near_dupes(vectors):
+    """Clustered vectors: near-dup pairs (cosine >= .9) exist within
+    clusters, every reported pair is within one cluster, and the reported
+    cosine equals the exact cosine."""
+    pairs = S.embedding_near_dupes(vectors, threshold=0.9, n_planes=6,
+                                   n_tables=4).collect()
+    assert pairs, "clustered fixture must yield near-dup pairs"
+    labels = {r["vec_id"]: r["label"] for r in vectors.collect()}
+    emb = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in vectors.collect()}
+    for r in pairs:
+        assert r["vec_a"] < r["vec_b"]
+        assert labels[r["vec_a"]] == labels[r["vec_b"]], r
+        a, b = emb[r["vec_a"]], emb[r["vec_b"]]
+        want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r["cosine"] - round(want, 6)) < 1e-9
+        assert want >= 0.9

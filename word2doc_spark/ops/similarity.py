@@ -73,6 +73,39 @@ def lsh_bucket(df: DataFrame, planes: np.ndarray, id_col: str,
     return df.select(F.col(id_col), F.col(emb_col), bucket.alias("bucket"))
 
 
+def embedding_near_dupes(vectors: DataFrame, threshold: float = 0.9,
+                         n_planes: int = 8, seed: int = 7,
+                         n_tables: int = 2) -> DataFrame:
+    """(vec_a, vec_b, cosine) — embedding-cosine near-duplicate pairs.
+
+    Candidates = vector pairs sharing a random-hyperplane bucket in any of
+    ``n_tables`` tables (equi-join on (table, bucket) — never all-pairs);
+    survivors = exact cosine ≥ threshold. The standard embedding near-dup
+    sweep for training-data dedup: at 100 TB the bucket join bounds the
+    candidate fan-out the same way MinHash-LSH bands do for text."""
+    dim = len(vectors.select("embedding").first()["embedding"])
+    v = vectors.select("vec_id", "embedding")
+    cands = None
+    for t in range(n_tables):
+        planes = random_hyperplanes(dim, n_planes, seed + 101 * t)
+        vb = lsh_bucket(v, planes, "vec_id").withColumn("tbl", F.lit(t))
+        a = vb.alias("a")
+        b = vb.alias("b")
+        c = (a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
+                    & (F.col("a.bucket") == F.col("b.bucket"))
+                    & (F.col("a.vec_id") < F.col("b.vec_id")))
+               .select(F.col("a.vec_id").alias("vec_a"),
+                       F.col("b.vec_id").alias("vec_b"),
+                       F.col("a.embedding").alias("ea"),
+                       F.col("b.embedding").alias("eb")))
+        cands = c if cands is None else cands.unionByName(c)
+    cand = cands.dropDuplicates(["vec_a", "vec_b"])
+    cos = cosine_col(F.col("ea").cast("array<double>"),
+                     F.col("eb").cast("array<double>"))
+    return (cand.filter(cos >= threshold)
+                .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine")))
+
+
 def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
              n_planes: int = 8, seed: int = 7,
              n_tables: int = 1) -> DataFrame:

@@ -240,6 +240,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["emb_near_dup"] = lambda s, d: S.embedding_near_dupes(
         _emb(s, d), threshold=0.3, n_planes=_LSH_PLANES, seed=_LSH_SEED,
         n_tables=2)
+    q["ann_ivf_topk"] = lambda s, d: S.ivf_topk(
+        _emb(s, d),
+        _emb(s, d).filter(F.col("vec_id") < 5)
+                  .select(F.col("vec_id").alias("query_vec_id"), "embedding"),
+        k=5, n_cells=16, n_probe=4)
 
     # --- label extraction (C10 parity) ---
     def para_label(s, d):
@@ -696,6 +701,42 @@ FROM documents d LEFT JOIN sim ON sim.doc_id = d.doc_id"""
 
     o["ann_lsh_topk"] = _ann_lsh_sql()
     o["emb_near_dup"] = _emb_near_dup_sql()
+
+    o["ann_ivf_topk"] = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cent AS (SELECT vec_id AS cell_id, e AS cemb FROM v
+         ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+assign AS (
+  SELECT vec_id, e, cell_id FROM (
+    SELECT v.vec_id, v.e, c.cell_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY round(list_cosine_similarity(v.e, c.cemb), 6) DESC,
+                      c.cell_id) AS r
+    FROM v CROSS JOIN cent c) WHERE r = 1
+),
+q AS (SELECT vec_id AS query_vec_id, e AS qe FROM v WHERE vec_id < 5),
+probes AS (
+  SELECT query_vec_id, qe, cell_id FROM (
+    SELECT q.query_vec_id, q.qe, c.cell_id,
+           row_number() OVER (
+             PARTITION BY q.query_vec_id
+             ORDER BY round(list_cosine_similarity(q.qe, c.cemb), 6) DESC,
+                      c.cell_id) AS r
+    FROM q CROSS JOIN cent c) WHERE r <= 4
+),
+cand AS (SELECT p.query_vec_id, p.qe, a.vec_id AS neighbor_id, a.e
+         FROM assign a JOIN probes p USING (cell_id)
+         WHERE a.vec_id <> p.query_vec_id),
+scored AS (
+  SELECT query_vec_id, neighbor_id,
+         round(list_cosine_similarity(qe, e), 6) AS cosine,
+         row_number() OVER (
+           PARTITION BY query_vec_id
+           ORDER BY round(list_cosine_similarity(qe, e), 6) DESC,
+                    neighbor_id) AS rank
+  FROM cand)
+SELECT query_vec_id, rank, neighbor_id, cosine FROM scored WHERE rank <= 5"""
 
     o["title_sanitize"] = r"""
 WITH t AS (

@@ -209,3 +209,22 @@ def test_embedding_near_dupes(vectors):
         want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert abs(r["cosine"] - round(want, 6)) < 1e-9
         assert want >= 0.9
+
+
+def test_ivf_topk_recall(vectors):
+    """IVF with a probe budget recovers most of the brute-force top-5 on
+    the clustered fixture; every reported cosine is exact."""
+    q = (vectors.filter(F.col("vec_id") < 8)
+         .select(F.col("vec_id").alias("query_vec_id"), "embedding"))
+    brute = S.brute_force_topk(vectors, q, k=5).collect()
+    ivf = S.ivf_topk(vectors, q, k=5, n_cells=12, n_probe=4).collect()
+    want = {(r["query_vec_id"], r["neighbor_id"]) for r in brute}
+    got = {(r["query_vec_id"], r["neighbor_id"]) for r in ivf}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.7, recall
+    brute_scores = {(r["query_vec_id"], r["neighbor_id"]): r["cosine"]
+                    for r in brute}
+    for r in ivf:
+        key = (r["query_vec_id"], r["neighbor_id"])
+        if key in brute_scores:
+            assert abs(r["cosine"] - brute_scores[key]) < 1e-9

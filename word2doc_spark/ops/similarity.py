@@ -73,6 +73,66 @@ def lsh_bucket(df: DataFrame, planes: np.ndarray, id_col: str,
     return df.select(F.col(id_col), F.col(emb_col), bucket.alias("bucket"))
 
 
+def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
+             n_cells: int = 16, n_probe: int = 4) -> DataFrame:
+    """IVF-flat approximate cosine top-k (the inverted-file ANN shape).
+
+    Coarse quantizer: ``n_cells`` centroids picked deterministically (the
+    vectors with the smallest md5(vec_id) — a seedless random sample both
+    Spark and a SQL oracle can reproduce). Every vector is assigned to its
+    max-cosine centroid (one broadcast of n_cells rows; assignment scan is
+    embarrassingly parallel and would be persisted as the IVF index in
+    production). A query probes its ``n_probe`` closest cells and scores
+    only their members exactly. Recall < 1 by design; the brute-force path
+    is the quality oracle.
+
+    At 100-TB scale: n_cells grows to O(√N); the only shuffles are the
+    candidate equi-join on cell_id and the final per-query window — the
+    all-pairs product never materializes.
+    """
+    from pyspark.sql import Window
+
+    cent = (vectors
+            .withColumn("_h", F.md5(F.encode(
+                F.col("vec_id").cast("string"), "UTF-8")))
+            .orderBy("_h", "vec_id")
+            .limit(n_cells)
+            .select(F.col("vec_id").alias("cell_id"),
+                    F.col("embedding").cast("array<double>").alias("cemb")))
+
+    def _closest(df, id_col, emb_col, keep):
+        scored = (df.crossJoin(F.broadcast(cent))
+                  .select(id_col, emb_col,
+                          "cell_id",
+                          F.round(cosine_col(F.col(emb_col)
+                                             .cast("array<double>"),
+                                             F.col("cemb")), 6)
+                          .alias("csim")))
+        w = Window.partitionBy(id_col).orderBy(
+            F.desc("csim"), F.asc("cell_id"))
+        return (scored.withColumn("_r", F.row_number().over(w))
+                      .filter(F.col("_r") <= keep)
+                      .select(id_col, emb_col, "cell_id"))
+
+    assign = _closest(vectors.select("vec_id", "embedding"),
+                      "vec_id", "embedding", 1)
+    probes = _closest(queries.select("query_vec_id",
+                                     F.col("embedding").alias("qe")),
+                      "query_vec_id", "qe", n_probe)
+    cand = (assign.join(probes, "cell_id")
+            .filter(F.col("vec_id") != F.col("query_vec_id")))
+    scored = cand.select(
+        "query_vec_id", F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine_col(F.col("qe").cast("array<double>"),
+                           F.col("embedding").cast("array<double>")), 6)
+         .alias("cosine"))
+    w = Window.partitionBy("query_vec_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+                  .filter(F.col("rank") <= k)
+                  .select("query_vec_id", "rank", "neighbor_id", "cosine"))
+
+
 def embedding_near_dupes(vectors: DataFrame, threshold: float = 0.9,
                          n_planes: int = 8, seed: int = 7,
                          n_tables: int = 2) -> DataFrame:

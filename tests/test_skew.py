@@ -79,3 +79,38 @@ def test_head_term_actually_segmented(spark, tmp_path):
     assert max(r["n_segs"] for r in per_term) > 1
     # no cell ever exceeds the segment cap
     assert all(r["max_seg"] <= 16 for r in per_term)
+
+
+def test_query_identity_across_segmentation(spark, tmp_path):
+    """All three query paths return identical results on physically
+    different segmentations of the same corpus (n_ranges/max_seg are pure
+    layout knobs)."""
+    import math
+    from word2doc_spark.query.exact import search_exact
+    from word2doc_spark.query.fast import search_fast
+    from word2doc_spark.query.wand import search_wand
+
+    pages = synthetic_pages(spark, 150, num_partitions=4)
+    base = IndexConfig(hash_size=2 ** 18, num_shards=4, block_size=64)
+    dirs = []
+    for name, nr, ms in (("one", 1, 10 ** 9), ("many", 8, 16)):
+        d = str(tmp_path / name)
+        build_index(spark, pages, d,
+                    IndexConfig(**{**base.to_dict(), "n_ranges": nr,
+                                   "max_seg_postings": ms, "extras": {}}),
+                    input_token="qident")
+        dirs.append(d)
+    qdf = spark.createDataFrame(
+        [(1, "spark shuffle partition"), (2, "webscale crawl"),
+         (3, "posting wand block heap")],
+        "query_id long, query string")
+    key = lambda r: (r["query_id"], r["rank"])
+    for fn in (search_exact, search_fast, search_wand):
+        a = sorted(fn(spark, dirs[0], qdf, k=8, score_mode="bm25").collect(),
+                   key=key)
+        b = sorted(fn(spark, dirs[1], qdf, k=8, score_mode="bm25").collect(),
+                   key=key)
+        assert [(r["query_id"], r["rank"], r["doc_id"]) for r in a] == \
+               [(r["query_id"], r["rank"], r["doc_id"]) for r in b], fn
+        for x, y in zip(a, b):
+            assert math.isclose(x["score"], y["score"], rel_tol=1e-9)

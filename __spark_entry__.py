@@ -246,6 +246,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   .select(F.col("vec_id").alias("query_vec_id"), "embedding"),
         k=5, n_cells=16, n_probe=4)
 
+    # recall@5 of the approximate paths vs the brute-force oracle — makes
+    # ANN quality visible to the driver gate, not just pytest
+    def ann_recall(s, d):
+        qv = (_emb(s, d).filter(F.col("vec_id") < 5)
+              .select(F.col("vec_id").alias("query_vec_id"), "embedding"))
+        bf = S.brute_force_topk(_emb(s, d), qv, k=5)
+        approx = {
+            "lsh": S.lsh_topk(_emb(s, d), qv, k=5, n_planes=_LSH_PLANES,
+                              seed=_LSH_SEED, n_tables=_LSH_TABLES,
+                              dim=_EMB_DIM),
+            "ivf": S.ivf_topk(_emb(s, d), qv, k=5, n_cells=16, n_probe=4),
+        }
+        qs = bf.select("query_vec_id").distinct()
+        outs = []
+        for method, res in approx.items():
+            hits = (res.select("query_vec_id", "neighbor_id")
+                    .join(bf.select("query_vec_id", "neighbor_id"),
+                          ["query_vec_id", "neighbor_id"])
+                    .groupBy("query_vec_id")
+                    .agg((F.count("*") / F.lit(5.0)).alias("r")))
+            outs.append(
+                qs.join(hits, "query_vec_id", "left")
+                  .agg(F.count("*").alias("n_queries"),
+                       F.round(F.avg(F.coalesce(F.col("r"), F.lit(0.0))), 6)
+                        .alias("recall_at_5"))
+                  .select(F.lit(method).alias("method"), "n_queries",
+                          "recall_at_5"))
+        return outs[0].unionByName(outs[1])
+    q["ann_recall"] = ann_recall
+
     # --- label extraction (C10 parity) ---
     def para_label(s, d):
         from word2doc_spark.ops.evaluation import first_paragraph_label
@@ -292,7 +322,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def mm_features(s, d):                                     # rows-only
         from word2doc_spark.ops.multimodal import (
             decode_features, media_from_documents)
-        return decode_features(media_from_documents(_docs(s, d)))
+        feats = decode_features(media_from_documents(_docs(s, d)))
+        # the driver's canonicalizer sorts columns — emit sortable scalars
+        # (md5 of the 6-dp-rounded vector), not a raw array<double>
+        return feats.select(
+            "media_id", "kind",
+            F.md5(F.concat_ws(",", F.transform(
+                F.col("features"),
+                lambda x: F.round(x, 6).cast("string")))).alias("feat_hash"))
     q["multimodal_features"] = mm_features
 
     # --- relational coverage: windows + multi-join agg (D/E/F ops) ---
@@ -737,6 +774,23 @@ scored AS (
                     neighbor_id) AS rank
   FROM cand)
 SELECT query_vec_id, rank, neighbor_id, cosine FROM scored WHERE rank <= 5"""
+
+    def _recall_leg(method: str, cte: str) -> str:
+        return f"""
+SELECT '{method}' AS method, count(*) AS n_queries,
+       round(avg(coalesce(h.c, 0) / 5.0), 6) AS recall_at_5
+FROM (SELECT DISTINCT query_vec_id FROM bf) q
+LEFT JOIN (SELECT query_vec_id, count(*) AS c
+           FROM {cte} JOIN bf USING (query_vec_id, neighbor_id)
+           GROUP BY 1) h USING (query_vec_id)"""
+
+    o["ann_recall"] = f"""
+WITH bf AS (SELECT * FROM ({o['ann_cosine_topk']})),
+lsh AS (SELECT * FROM ({o['ann_lsh_topk']})),
+ivf AS (SELECT * FROM ({o['ann_ivf_topk']}))
+{_recall_leg('lsh', 'lsh')}
+UNION ALL
+{_recall_leg('ivf', 'ivf')}"""
 
     o["title_sanitize"] = r"""
 WITH t AS (

@@ -113,3 +113,23 @@ def test_extraction_byte_identity(spark, built):
             assert got[url].encode() == want.encode(), url
         else:
             assert url not in got
+
+
+def test_sparse_dl_guard():
+    """SparseDL raises loudly on doc_ids absent from the dl blobs instead
+    of silently returning a neighbor's dl (ADVICE r2)."""
+    import numpy as np
+    import pytest
+    from word2doc_spark.query.ranges import SparseDL
+
+    dl = SparseDL(np.array([2, 5, 9]), np.array([10.0, 20.0, 30.0]))
+    assert dl[5] == 20.0
+    assert list(dl[np.array([2, 9])]) == [10.0, 30.0]
+    with pytest.raises(KeyError):
+        dl[4]
+    with pytest.raises(KeyError):
+        dl[11]
+    with pytest.raises(KeyError):
+        dl[np.array([2, 4])]
+    with pytest.raises(KeyError):
+        dl[np.array([9, 11])]

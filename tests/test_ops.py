@@ -228,3 +228,51 @@ def test_ivf_topk_recall(vectors):
         key = (r["query_vec_id"], r["neighbor_id"])
         if key in brute_scores:
             assert abs(r["cosine"] - brute_scores[key]) < 1e-9
+
+
+def test_ivf_persisted_index_roundtrip(vectors, tmp_path):
+    """build_ivf_index → load_ivf_index → ivf_topk(assignment=...) gives
+    IDENTICAL results to the assign-on-the-fly path, and the persisted
+    assignment is partitioned by cell_id (probe-time partition pruning)."""
+    import os
+    q = (vectors.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("query_vec_id"), "embedding"))
+    path = str(tmp_path / "ivf_index")
+    cent = S.build_ivf_index(vectors, path, n_cells=12)
+    spark = vectors.sparkSession
+    assign, cent2 = S.load_ivf_index(spark, path)
+    assert cent == cent2
+    assert any(p.startswith("cell_id=") for p in os.listdir(path)), \
+        "assignment parquet must be hive-partitioned by cell_id"
+    fresh = S.ivf_topk(vectors, q, k=5, n_cells=12, n_probe=4).collect()
+    reused = S.ivf_topk(vectors, q, k=5, n_probe=4,
+                        assignment=assign, centroids=cent2).collect()
+    assert sorted((r["query_vec_id"], r["rank"], r["neighbor_id"])
+                  for r in fresh) == \
+        sorted((r["query_vec_id"], r["rank"], r["neighbor_id"])
+               for r in reused)
+
+
+def test_similarity_empty_vectors_guard(spark):
+    """Empty vector tables return empty results instead of raising
+    (the old .first() dim probe crashed with TypeError)."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    q = spark.createDataFrame([], "query_vec_id long, embedding array<float>")
+    assert S.embedding_near_dupes(empty, threshold=0.5).count() == 0
+    assert S.lsh_topk(empty, q, k=5).count() == 0
+    assert S.ivf_topk(empty, q, k=5).count() == 0
+
+
+def test_shingles_short_docs(spark):
+    """Docs shorter than n tokens yield zero shingles (the sequence()
+    guard), and shingles are distinct per doc."""
+    docs = spark.createDataFrame(
+        [(0, "one two"), (1, "a b c a b c a b"), (2, ""), (3, None)],
+        "doc_id long, text string")
+    rows = D.shingles(docs, n=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["shingle"])
+    assert 0 not in by_doc and 2 not in by_doc and 3 not in by_doc
+    # 8 tokens -> 6 positional 3-grams, 3 distinct after dedup
+    assert sorted(by_doc[1]) == ["a b c", "b c a", "c a b"]

@@ -72,3 +72,18 @@ def test_trim_queries_rake_spark(spark):
     assert got[1] == "capital"
     # 'wrote war' (score 4) outranks 'peace' (score 1)
     assert got[2] == "wrote war"
+
+
+def test_substring_dedup_guard(spark):
+    """dedup_substring_questions refuses corpus-sized inputs — the
+    containment join is O(n^2) and exists for query-set prep only."""
+    import pytest
+    from word2doc_spark.sources.squad import dedup_substring_questions
+
+    qs = spark.createDataFrame(
+        [(i, f"question number {i}x") for i in range(12)],
+        "query_id long, query string")
+    with pytest.raises(ValueError, match="max_rows"):
+        dedup_substring_questions(qs, max_rows=10)
+    # under the cap it still runs
+    assert dedup_substring_questions(qs, max_rows=100).count() == 12

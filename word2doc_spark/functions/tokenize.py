@@ -51,11 +51,14 @@ _RE_HYPHEN = r"{A}([-֊‐‑]{A})+".format(A=_RE_ALPHA_NUM)
 _RE_NEGATION = r"((?!n't)[\p{L}\p{N}\p{M}])++(?=n't)|n't"
 _RE_CONTRACTION1 = r"can(?=not\b)"
 _RE_CONTRACTION2 = r"'([tsdm]|re|ll|ve)\b"
-_RE_START_DQUOTE = r'(?<=[\p{Z}\(\[{<]|^)(``|["“«])(?!\p{Z})'
-_RE_START_SQUOTE = r"(?<=[\p{Z}\(\[{<]|^)['‘‛‹](?!\p{Z})"
-_RE_END_DQUOTE = r'(?<!\p{Z})(\'\'|["”»])'
-_RE_END_SQUOTE = r"(?<!\p{Z})['’›]"
-_RE_DASH = r"--|[–—―]"
+# normalize to the same surface tokens as the reference
+# (regexp_tokenizer.py:29-33) so Windows-1252 mojibake quote/dash bytes
+# the \u0091-\u0097 C1 controls match the reference classes exactly
+_RE_START_DQUOTE = r'(?<=[\p{Z}\(\[{<]|^)(``|["\u0093“«])(?!\p{Z})'
+_RE_START_SQUOTE = r"(?<=[\p{Z}\(\[{<]|^)['\u0091‘‛‹](?!\p{Z})"
+_RE_END_DQUOTE = r'(?<!\p{Z})(\'\'|["\u0094”»])'
+_RE_END_SQUOTE = r"(?<!\p{Z})['\u0092’›]"
+_RE_DASH = r"--|[\u0096\u0097–—―]"
 _RE_ELLIPSES = r"\.\.\.|…"
 _RE_PUNCT = r"\p{P}"
 _RE_NON_WS = r"[^\p{Z}\p{C}]"

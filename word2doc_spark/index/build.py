@@ -227,10 +227,19 @@ def _encode_dl_runs(range_width: int, chunk_docs: int, block_size: int):
 # build driver
 # ---------------------------------------------------------------------------
 
+# the subdirectories the build owns — the ONLY paths a stale-wipe may
+# touch; anything else under index_dir (user files, a mispointed path)
+# must survive a fingerprint change
+_BUILD_OWNED = ("docs", "stage", "doclen", "doclen_seg", "shards", "terms",
+                "manifest")
+
+
 def _wipe_stale(index_dir: str, manifest: Manifest, fp: str) -> None:
     """A fingerprint change invalidates EVERYTHING (input or config moved):
-    wipe the index dir so stale shards/terms/doclen from an older layout or
-    num_shards can never be read alongside fresh data."""
+    wipe the build-owned subdirs so stale shards/terms/doclen from an older
+    layout or num_shards can never be read alongside fresh data. Only the
+    directories this build writes are removed — a config typo pointed at a
+    populated directory cannot destroy unrelated data."""
     stale = False
     marker = manifest.read_marker("stage")
     if marker is not None and marker.get("fingerprint") != fp:
@@ -243,7 +252,8 @@ def _wipe_stale(index_dir: str, manifest: Manifest, fp: str) -> None:
         except Exception:
             stale = True
     if stale and os.path.isdir(index_dir):
-        shutil.rmtree(index_dir, ignore_errors=True)
+        for sub in _BUILD_OWNED:
+            shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
 
 
 def _shard_groups(num_shards: int, shards_per_job: int) -> list[list[int]]:

@@ -37,19 +37,24 @@ def _md5_long(col) -> F.Column:
 
 
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) — distinct word n-gram shingles per doc."""
-    toks = docs.select("doc_id",
-                       F.posexplode(sql_tokens("text")).alias("pos", "token"))
-    w = F.col
-    joined = toks
-    for i in range(1, n):
-        nxt = toks.select(w("doc_id").alias("doc_id"),
-                          (w("pos") - i).alias("pos"),
-                          w("token").alias(f"t{i}"))
-        joined = joined.join(nxt, ["doc_id", "pos"])
-    cols = [F.col("token")] + [F.col(f"t{i}") for i in range(1, n)]
-    return (joined
-            .select("doc_id", F.concat_ws(" ", *cols).alias("shingle"))
+    """(doc_id, shingle) — distinct word n-gram shingles per doc.
+
+    Built per row with higher-order functions — transform over a position
+    sequence + slice + concat_ws — then ONE explode + distinct. Zero
+    joins: the old plan exploded the token stream and self-joined it
+    (n−1) times on (doc_id, pos), shuffling the full token table twice
+    for n=3; this shape keeps shingle construction inside whole-stage
+    codegen and the only shuffle is the final distinct."""
+    toks = sql_tokens("text")
+    # sequence(0, size-n) would COUNT DOWN when size < n (Spark infers a
+    # negative step) — guard short docs to an empty shingle list instead
+    per_row = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    ).otherwise(F.array().cast("array<string>"))
+    return (docs.select("doc_id", F.explode(per_row).alias("shingle"))
             .distinct())
 
 
@@ -158,23 +163,26 @@ def simhash64(docs: DataFrame) -> DataFrame:
     Per token: h = md5_long(token); per bit position b: vote +1 when bit b
     of h is set else −1, summed over all tokens (duplicates included);
     simhash bit b = 1 iff the vote is positive. Docs with zero tokens get
-    simhash 0. All built-in column ops — one shuffle on (doc_id, bit) and
-    one on doc_id."""
+    simhash 0. All built-in column ops in ONE groupBy(doc_id) with 60
+    conditional-sum aggregate expressions — map-side partial aggregation
+    reduces each doc to a single 60-long row before the only shuffle (the
+    old plan posexploded every token into 60 vote rows and shuffled
+    n_tokens × 60 rows through a (doc_id, pos) aggregation)."""
     toks = (docs.select("doc_id",
                         F.explode(sql_tokens("text")).alias("token"))
             .select("doc_id", _md5_long(F.col("token")).alias("h")))
-    bits = toks.select(
-        "doc_id",
-        F.posexplode(F.array(*[
-            F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1))
-             .cast("long") * 2 - 1
-            for b in range(SIMHASH_BITS)])).alias("pos", "vote"))
-    votes = (bits.groupBy("doc_id", "pos")
-             .agg(F.sum("vote").alias("v")))
-    sim = (votes.groupBy("doc_id")
-           .agg(F.sum(F.when(F.col("v") > 0,
-                             F.expr("shiftleft(CAST(1 AS BIGINT), pos)"))
-                      .otherwise(F.lit(0).cast("long"))).alias("simhash")))
+    votes = toks.groupBy("doc_id").agg(*[
+        F.sum(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1))
+               .cast("long") * 2 - 1).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)])
+    bit_terms = [
+        F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long"))
+         .otherwise(F.lit(0).cast("long"))
+        for b in range(SIMHASH_BITS)]
+    acc = bit_terms[0]
+    for t in bit_terms[1:]:
+        acc = acc + t
+    sim = votes.select("doc_id", acc.alias("simhash"))
     return (docs.select("doc_id").join(sim, "doc_id", "left")
             .select("doc_id",
                     F.coalesce(F.col("simhash"), F.lit(0).cast("long"))

@@ -60,6 +60,26 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
     return rng.standard_normal((n_planes, dim)).astype(np.float64)
 
 
+def _embedding_dim(df: DataFrame, emb_col: str = "embedding") -> int | None:
+    """Embedding width, or None when the table is empty. One bounded
+    ``head(1)`` — callers that know the dim should pass it explicitly and
+    skip the probe (array<> schemas don't carry a length)."""
+    row = df.select(emb_col).head(1)
+    if not row or row[0][emb_col] is None:
+        return None
+    return len(row[0][emb_col])
+
+
+def _empty_pairs(spark) -> DataFrame:
+    return spark.createDataFrame(
+        [], "vec_a long, vec_b long, cosine double")
+
+
+def _empty_topk(spark) -> DataFrame:
+    return spark.createDataFrame(
+        [], "query_vec_id long, rank long, neighbor_id long, cosine double")
+
+
 def lsh_bucket(df: DataFrame, planes: np.ndarray, id_col: str,
                emb_col: str = "embedding") -> DataFrame:
     """Sign-of-projection bucket id per vector, built with zip_with/aggregate
@@ -73,53 +93,123 @@ def lsh_bucket(df: DataFrame, planes: np.ndarray, id_col: str,
     return df.select(F.col(id_col), F.col(emb_col), bucket.alias("bucket"))
 
 
-def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
-             n_cells: int = 16, n_probe: int = 4) -> DataFrame:
-    """IVF-flat approximate cosine top-k (the inverted-file ANN shape).
-
-    Coarse quantizer: ``n_cells`` centroids picked deterministically (the
-    vectors with the smallest md5(vec_id) — a seedless random sample both
-    Spark and a SQL oracle can reproduce). Every vector is assigned to its
-    max-cosine centroid (one broadcast of n_cells rows; assignment scan is
-    embarrassingly parallel and would be persisted as the IVF index in
-    production). A query probes its ``n_probe`` closest cells and scores
-    only their members exactly. Recall < 1 by design; the brute-force path
-    is the quality oracle.
-
-    At 100-TB scale: n_cells grows to O(√N); the only shuffles are the
-    candidate equi-join on cell_id and the final per-query window — the
-    all-pairs product never materializes.
-    """
-    from pyspark.sql import Window
-
-    cent = (vectors
+def train_centroids(vectors: DataFrame,
+                    n_cells: int = 16) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse quantizer: the ``n_cells`` vectors with the
+    smallest md5(vec_id) — a seedless sample both Spark and a SQL oracle
+    reproduce. O(n_cells) driver collect: the coarse codebook is
+    driver-resident by design (as in any IVF trainer); n_cells = O(√N)
+    stays driver-sized even at 10^9 vectors."""
+    rows = (vectors
             .withColumn("_h", F.md5(F.encode(
                 F.col("vec_id").cast("string"), "UTF-8")))
             .orderBy("_h", "vec_id")
             .limit(n_cells)
             .select(F.col("vec_id").alias("cell_id"),
-                    F.col("embedding").cast("array<double>").alias("cemb")))
+                    F.col("embedding").cast("array<double>").alias("cemb"))
+            .collect())
+    return [(int(r["cell_id"]), [float(x) for x in r["cemb"]])
+            for r in rows]
 
-    def _closest(df, id_col, emb_col, keep):
-        scored = (df.crossJoin(F.broadcast(cent))
-                  .select(id_col, emb_col,
-                          "cell_id",
-                          F.round(cosine_col(F.col(emb_col)
-                                             .cast("array<double>"),
-                                             F.col("cemb")), 6)
-                          .alias("csim")))
-        w = Window.partitionBy(id_col).orderBy(
-            F.desc("csim"), F.asc("cell_id"))
-        return (scored.withColumn("_r", F.row_number().over(w))
-                      .filter(F.col("_r") <= keep)
-                      .select(id_col, emb_col, "cell_id"))
 
-    assign = _closest(vectors.select("vec_id", "embedding"),
-                      "vec_id", "embedding", 1)
-    probes = _closest(queries.select("query_vec_id",
-                                     F.col("embedding").alias("qe")),
-                      "query_vec_id", "qe", n_probe)
-    cand = (assign.join(probes, "cell_id")
+def _cent_scored(emb_col, cent) -> F.Column:
+    """array<struct(csim, neg_cell)> — cosine of one row's embedding
+    against every centroid, computed per row from the codebook literal
+    (JVM higher-order functions; no join, no shuffle). neg_cell makes
+    struct-ordering break csim ties toward the SMALLEST cell_id."""
+    ca = F.array(*[
+        F.struct(F.lit(int(cid)).cast("long").alias("cell_id"),
+                 F.array(*[F.lit(float(x)) for x in emb]).alias("cemb"))
+        for cid, emb in cent])
+    e = F.col(emb_col).cast("array<double>")
+    return F.transform(ca, lambda c: F.struct(
+        F.round(cosine_col(e, c["cemb"]), 6).alias("csim"),
+        (-c["cell_id"]).alias("neg_cell")))
+
+
+def ivf_assign(vectors: DataFrame, cent: list[tuple[int, list[float]]],
+               id_col: str = "vec_id",
+               emb_col: str = "embedding") -> DataFrame:
+    """(id, embedding, cell_id) — each vector assigned to its max-cosine
+    centroid by a per-row argmax (array_max over the scored codebook).
+    Shuffle-free and embarrassingly parallel: the old plan shuffled all
+    N × n_cells scored rows through a row_number window (N^1.5 rows at
+    n_cells=O(√N))."""
+    best = F.array_max(_cent_scored(emb_col, cent))
+    return vectors.select(id_col, emb_col,
+                          (-best["neg_cell"]).alias("cell_id"))
+
+
+def build_ivf_index(vectors: DataFrame, path: str,
+                    n_cells: int = 16) -> list[tuple[int, list[float]]]:
+    """Persist the IVF index: assignment parquet partitioned by cell_id
+    (query-time probes prune to their cells' partitions) + the codebook
+    as JSON next to it. Returns the trained centroids."""
+    import json
+    cent = train_centroids(vectors, n_cells)
+    (ivf_assign(vectors, cent)
+     .write.mode("overwrite").partitionBy("cell_id").parquet(path))
+    jvm_safe = [[cid, emb] for cid, emb in cent]
+    # write the codebook through the driver (tiny)
+    with open(path.rstrip("/") + "_centroids.json", "w") as f:
+        json.dump(jvm_safe, f)
+    return cent
+
+
+def load_ivf_index(spark, path: str):
+    """→ (assignment DataFrame, centroids) as written by build_ivf_index."""
+    import json
+    with open(path.rstrip("/") + "_centroids.json") as f:
+        cent = [(int(c), [float(x) for x in e]) for c, e in json.load(f)]
+    return spark.read.parquet(path), cent
+
+
+def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
+             n_cells: int = 16, n_probe: int = 4,
+             assignment: DataFrame | None = None,
+             centroids: list[tuple[int, list[float]]] | None = None
+             ) -> DataFrame:
+    """IVF-flat approximate cosine top-k (the inverted-file ANN shape).
+
+    Coarse quantizer: deterministic md5-sampled centroids
+    (``train_centroids``). Vectors are assigned to their max-cosine
+    centroid by a per-row argmax over the codebook literal — shuffle-free
+    (``ivf_assign``); pass ``assignment``/``centroids`` from
+    ``build_ivf_index``/``load_ivf_index`` to reuse a persisted index
+    instead of re-assigning per query batch. A query probes its
+    ``n_probe`` closest cells (per-row array_sort + slice, also
+    shuffle-free) and scores only their members exactly. Recall < 1 by
+    design; the brute-force path is the quality oracle.
+
+    At 100-TB scale: n_cells grows to O(√N); the only shuffles are the
+    candidate equi-join on cell_id and the final per-query window — the
+    all-pairs product never materializes, and no window ever sees
+    N × n_cells rows.
+    """
+    from pyspark.sql import Window
+
+    if centroids is None:
+        centroids = train_centroids(vectors, n_cells)
+    if not centroids:
+        return _empty_topk(vectors.sparkSession)
+    if assignment is None:
+        assignment = ivf_assign(vectors.select("vec_id", "embedding"),
+                                centroids)
+
+    # per-query probe list: sort the scored codebook descending per row,
+    # keep n_probe, explode — no crossJoin, no window
+    q = queries.select("query_vec_id", F.col("embedding").alias("qe"))
+    scored_cells = _cent_scored("qe", centroids)
+    probe_arr = F.slice(
+        F.array_sort(scored_cells,
+                     lambda a, b: F.when(a > b, -1)
+                                   .when(a < b, 1).otherwise(0)),
+        1, n_probe)
+    probes = (q.select("query_vec_id", "qe",
+                       F.explode(probe_arr).alias("pc"))
+               .select("query_vec_id", "qe",
+                       (-F.col("pc.neg_cell")).alias("cell_id")))
+    cand = (assignment.join(F.broadcast(probes), "cell_id")
             .filter(F.col("vec_id") != F.col("query_vec_id")))
     scored = cand.select(
         "query_vec_id", F.col("vec_id").alias("neighbor_id"),
@@ -135,7 +225,8 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
 
 def embedding_near_dupes(vectors: DataFrame, threshold: float = 0.9,
                          n_planes: int = 8, seed: int = 7,
-                         n_tables: int = 2) -> DataFrame:
+                         n_tables: int = 2,
+                         dim: int | None = None) -> DataFrame:
     """(vec_a, vec_b, cosine) — embedding-cosine near-duplicate pairs.
 
     Candidates = vector pairs sharing a random-hyperplane bucket in any of
@@ -143,7 +234,9 @@ def embedding_near_dupes(vectors: DataFrame, threshold: float = 0.9,
     survivors = exact cosine ≥ threshold. The standard embedding near-dup
     sweep for training-data dedup: at 100 TB the bucket join bounds the
     candidate fan-out the same way MinHash-LSH bands do for text."""
-    dim = len(vectors.select("embedding").first()["embedding"])
+    dim = dim or _embedding_dim(vectors)
+    if dim is None:
+        return _empty_pairs(vectors.sparkSession)
     v = vectors.select("vec_id", "embedding")
     cands = None
     for t in range(n_tables):
@@ -168,7 +261,7 @@ def embedding_near_dupes(vectors: DataFrame, threshold: float = 0.9,
 
 def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
              n_planes: int = 8, seed: int = 7,
-             n_tables: int = 1) -> DataFrame:
+             n_tables: int = 1, dim: int | None = None) -> DataFrame:
     """Approximate cosine top-k: candidates = vectors sharing a bucket with
     the query in ANY of ``n_tables`` independent hash tables (multi-probe
     by table union — the standard recall lever; one table keeps the old
@@ -176,7 +269,9 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     all-pairs product never materializes."""
     from pyspark.sql import Window
 
-    dim = len(vectors.select("embedding").first()["embedding"])
+    dim = dim or _embedding_dim(vectors)
+    if dim is None:
+        return _empty_topk(vectors.sparkSession)
     v = vectors.select(F.col("vec_id").alias("neighbor_id"), "embedding")
     cands = None
     for t in range(n_tables):

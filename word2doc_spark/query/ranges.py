@@ -55,6 +55,17 @@ class SparseDL:
 
     def __getitem__(self, key):
         idx = np.searchsorted(self.docs, key)
+        # loud failure on a doc absent from the dl blobs (e.g. a gap in
+        # doclen_seg coverage) — silently returning a neighbor's dl would
+        # mis-score bm25 without any signal
+        if np.isscalar(key) or getattr(key, "ndim", 0) == 0:
+            if idx >= len(self.docs) or self.docs[idx] != key:
+                raise KeyError(f"doc_id {key} missing from dl blobs")
+        else:
+            if np.any(idx >= len(self.docs)) or \
+                    np.any(self.docs[np.minimum(idx, len(self.docs) - 1)]
+                           != key):
+                raise KeyError("doc_id(s) missing from dl blobs")
         return self.vals[idx]
 
 
@@ -167,8 +178,16 @@ def search_doc_partitioned(
             if len(left) == 0:
                 return pd.DataFrame(
                     {"query_id": [], "doc_id": [], "score": []})
-            return _score_range(left, decode_dl_blobs(right), k, mode,
-                                k1, b, avgdl, topk_fn)
+            dl = decode_dl_blobs(right)
+            if dl is None:
+                # bm25 must never silently fall back to avgdl: a range with
+                # matched segments but no dl blobs is a broken index
+                rid = (left["range_id"].iloc[0]
+                       if "range_id" in left.columns else "?")
+                raise RuntimeError(
+                    "bm25 scoring: no doclen_seg blobs for a range with "
+                    f"matched segments (range_id={rid})")
+            return _score_range(left, dl, k, mode, k1, b, avgdl, topk_fn)
 
         cand = (joined.groupby("range_id", "qb")
                 .cogroup(dlseg.groupby("range_id", "qb"))

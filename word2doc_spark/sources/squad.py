@@ -56,7 +56,8 @@ def trim_queries_rake(queries: DataFrame,
     return queries.mapInPandas(run, schema=queries.schema)
 
 
-def dedup_substring_questions(queries: DataFrame) -> DataFrame:
+def dedup_substring_questions(queries: DataFrame,
+                              max_rows: int = 200_000) -> DataFrame:
     """Reference B6 semantics (pre_process.py:94-98,113-118): drop a
     question when another kept question is a substring of it; prefer the
     shorter (contained) question. Expressed as a self-join + left_anti.
@@ -64,7 +65,18 @@ def dedup_substring_questions(queries: DataFrame) -> DataFrame:
     Mutual containment (exact-duplicate questions contain each other) must
     not drop BOTH rows: a row is dropped only when the other query is a
     strict substring (shorter), or — for exact duplicates — when the other
-    row has the smaller query_id (keep-first semantics)."""
+    row has the smaller query_id (keep-first semantics).
+
+    GUARD: substring containment is a non-equi self-join (O(n²) compares)
+    — correct for query-set prep (the reference runs it over the SQuAD
+    question list), catastrophic if pointed at a corpus. ``max_rows``
+    bounds the input; raise it explicitly only for query-set-sized data."""
+    n = queries.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"dedup_substring_questions: input exceeds max_rows={max_rows} "
+            "— this non-equi self-join is for query-set prep, not corpora; "
+            "use ops.dedup (exact/minhash-LSH) for document dedup")
     a = queries.alias("a")
     b = queries.alias("b")
     shorter = F.length(F.col("a.query")) > F.length(F.col("b.query"))

@@ -108,3 +108,57 @@ def test_wand_topk_empty_and_zero_weight():
                               np.array([1, 1], np.uint64))
     assert wand_topk([], 5, "drqa", 1.2, 0.75, 10.0, None) == []
     assert wand_topk([(0.0, 1.0, payload)], 5, "drqa", 1.2, 0.75, 10.0, None) == []
+
+
+@pytest.mark.parametrize("mode", ["drqa", "bm25"])
+def test_wand_topk_theta_seed_exact_and_prunes(mode):
+    """A θ0 seed strictly below the true k-th score leaves results
+    IDENTICAL (incl. boundary ties) while decoding no more — and on
+    typical inputs strictly fewer — blocks."""
+    from word2doc_spark.query import wand as W
+
+    rng = np.random.default_rng(99)
+    n_docs, k = 20000, 5
+    dl = rng.integers(10, 300, size=n_docs).astype(np.uint32)
+    avgdl = float(dl.mean())
+    # the classic WAND-friendly shape: one rare high-weight term whose
+    # docs dominate the top-k, plus long low-weight tail lists that an
+    # effective θ lets the cursor leap over block-wise
+    term_rows = []
+    rare = np.sort(rng.choice(n_docs, size=40,
+                              replace=False)).astype(np.uint64)
+    term_rows.append((5.0, 5.0, encode_postings(
+        rare, rng.integers(5, 20, size=40).astype(np.uint64), 32)))
+    for _ in range(3):
+        docs = np.sort(rng.choice(n_docs, size=8000,
+                                  replace=False)).astype(np.uint64)
+        tfs = rng.integers(1, 3, size=8000).astype(np.uint64)
+        term_rows.append((0.2, 0.4, encode_postings(docs, tfs, 32)))
+    dlv = dl if mode == "bm25" else None
+    W.reset_stats()
+    base = wand_topk(term_rows, k, mode, 1.2, 0.75, avgdl, dlv)
+    sb = W.get_stats()
+    kth = base[-1][1]
+    seed = float(np.nextafter(kth, -np.inf))
+    W.reset_stats()
+    seeded = wand_topk(term_rows, k, mode, 1.2, 0.75, avgdl, dlv,
+                       theta0=seed)
+    s = W.get_stats()
+    assert [d for d, _ in seeded] == [d for d, _ in base]
+    for (d1, s1), (d2, s2) in zip(seeded, base):
+        assert math.isclose(s1, s2, rel_tol=1e-9)
+    # the seed must make pruning strictly cheaper on this workload
+    assert s["blocks_decoded"] < sb["blocks_decoded"], (s, sb)
+    assert s["blocks_skipped"] > 0
+
+
+def test_wand_seeding_differential_on_index(spark, built):
+    """search_wand with and without θ seeding returns identical rows."""
+    qdf = spark.createDataFrame(QUERIES, "query_id long, query string")
+    on = search_wand(spark, built, qdf, k=7, score_mode="bm25",
+                     seed_theta=True).collect()
+    off = search_wand(spark, built, qdf, k=7, score_mode="bm25",
+                      seed_theta=False).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(((r["query_id"], r["rank"], r["doc_id"]) for r in on)) \
+        == sorted(((r["query_id"], r["rank"], r["doc_id"]) for r in off))

@@ -262,6 +262,53 @@ def _shard_groups(num_shards: int, shards_per_job: int) -> list[list[int]]:
             for s in range(0, num_shards, k)]
 
 
+# staged dl rows ride in the terms table under this sentinel term_id (their
+# own hive partition shard_id=-1) so doc lengths fall out of the analyze
+# pass instead of a second full shuffle over the posting stream
+DL_TERM_ID = -1
+
+
+def _sample_url_bounds(pages: DataFrame, n_buckets: int,
+                       max_sample: int = 100_000) -> list[str]:
+    """URL range-bucket boundaries from a PRE-extraction sample.
+
+    repartitionByRange would run its boundary-sampling job through the
+    extract UDF's lineage (forcing a second full cache materialization);
+    sampling the raw ``url`` column instead is a cheap column-pruned scan
+    with no Python in it. Boundaries are approximate — the empty-text
+    filter later removes some urls — which only skews bucket sizes
+    slightly, never correctness (ids come from per-bucket counts)."""
+    n = pages.count()
+    if n == 0:
+        return []
+    frac = min(1.0, max_sample / max(n, 1))
+    urls = sorted(r["url"] for r in
+                  pages.select("url").sample(False, frac, seed=7).collect())
+    if not urls:
+        urls = sorted(r["url"] for r in
+                      pages.select("url").limit(1024).collect())
+    bounds = {urls[min(len(urls) - 1, (i * len(urls)) // n_buckets)]
+              for i in range(1, n_buckets)}
+    return sorted(bounds)
+
+
+def _url_bucket_col(bounds: list[str]):
+    """searchsorted-right over the boundary literals, JVM-side: bucket =
+    #bounds ≤ url. O(n_buckets) string compares per row inside codegen."""
+    if not bounds:
+        return F.lit(0).cast("int")
+    arr = F.array(*[F.lit(b) for b in bounds])
+    return F.size(F.filter(arr, lambda b: F.col("url") >= b)).cast("int")
+
+
+def _walk_key_runs(keys: np.ndarray):
+    """Yield (start, end, key) for consecutive equal-key runs."""
+    change = np.concatenate(
+        ([0], np.flatnonzero(keys[1:] != keys[:-1]) + 1, [keys.size]))
+    for s, e in zip(change[:-1], change[1:]):
+        yield int(s), int(e), int(keys[s])
+
+
 def build_index(
     spark: SparkSession,
     pages: DataFrame,
@@ -290,9 +337,11 @@ def build_index(
     terms_path = os.path.join(index_dir, "terms")
 
     # -- stage 1+2: docs + staged terms + doc lengths ---------------------
-    # One python stage per action: the url-sorted cached corpus feeds
+    # One python stage per action: the url-bucketed cached corpus feeds
     # (a) a narrow ids-only pass → docs(doc_id, url) and (b) a combined
-    # ids+analyze pass → (doc_id, term_id, tf). Chaining separate
+    # ids+analyze pass → (doc_id, term_id, tf) + per-doc dl rows under the
+    # DL_TERM_ID sentinel (doc lengths fall out of the analyze pass — no
+    # second full shuffle over the posting stream). Chaining separate
     # id-assignment and analysis UDF stages in one task doubles the
     # concurrent python-worker count per core — measurably anti-scales.
     n_docs = None
@@ -309,43 +358,49 @@ def build_index(
             sub[name] = round(now - t_prev, 2)
             return now
 
-        # materialize extraction ONCE: repartitionByRange runs a sampling
-        # job first, and its lineage includes the extract UDF (the
-        # empty-text filter depends on extracted text) — without this cache
-        # the python extraction executes twice
-        ext = (extracted_docs(pages, lang_filter, preprocess=preprocess)
-               .persist(StorageLevel.MEMORY_AND_DISK))
-        ranged = (ext.repartitionByRange(sp, "url")
-                     .sortWithinPartitions("url")
-                     .withColumn("_pid", F.spark_partition_id())
+        # global url order via explicit buckets sampled BEFORE extraction:
+        # bucket boundaries are driver-known literals, so no lineage ever
+        # re-runs the extract UDF for boundary sampling and only ONE cache
+        # materialization is needed (the old repartitionByRange plan paid
+        # a sampling job through the extract UDF plus a second cache)
+        bounds = _sample_url_bounds(pages, n_buckets=sp * 4)
+        t_sub = _lap("url_bounds", t0)
+        ext = extracted_docs(pages, lang_filter, preprocess=preprocess)
+        ranged = (ext.withColumn("_pkey", _url_bucket_col(bounds))
+                     .repartition(sp, "_pkey")
+                     .sortWithinPartitions("_pkey", "url")
                      .persist(StorageLevel.MEMORY_AND_DISK))
-        counts = {r["_pid"]: r["cnt"] for r in
-                  ranged.groupBy("_pid").agg(F.count("*").alias("cnt"))
+        counts = {r["_pkey"]: r["cnt"] for r in
+                  ranged.groupBy("_pkey").agg(F.count("*").alias("cnt"))
                         .collect()}
-        t_sub = _lap("extract_count", t0)
+        t_sub = _lap("extract_count", t_sub)
         offsets: dict[int, int] = {}
         acc = 0
-        for pid in sorted(counts):
-            offsets[pid] = acc
-            acc += counts[pid]
+        for pkey in sorted(counts):
+            offsets[pkey] = acc
+            acc += counts[pkey]
         n_docs = acc
         range_width = range_width_for(n_docs, config.n_ranges)
 
+        # hash partitioning may co-locate several url buckets in one task
+        # (sorted (_pkey, url) within it) — ids are assigned per bucket run
+        # from the global offsets, so doc_id = position in url-sorted order
         def ids_only(it):
+            import numpy as np  # noqa: F811
             import pandas as pd  # noqa: F811
-            pos = None
+            pos: dict[int, int] = {}
             for pdf in it:
                 if len(pdf) == 0:
                     continue
-                if pos is None:
-                    pos = offsets[int(pdf["_pid"].iloc[0])]
-                yield pd.DataFrame({
-                    "doc_id": range(pos, pos + len(pdf)),
-                    "url": pdf["url"],
-                })
-                pos += len(pdf)
+                pk = pdf["_pkey"].to_numpy()
+                out = np.empty(len(pdf), dtype=np.int64)
+                for s, e, key in _walk_key_runs(pk):
+                    start = pos.get(key, offsets[key])
+                    out[s:e] = np.arange(start, start + (e - s))
+                    pos[key] = start + (e - s)
+                yield pd.DataFrame({"doc_id": out, "url": pdf["url"]})
 
-        (ranged.select("url", "_pid")
+        (ranged.select("url", "_pkey")
                .mapInPandas(ids_only, "doc_id long, url string")
                .write.mode("overwrite").parquet(docs_path))
         t_sub = _lap("doc_ids", t_sub)
@@ -359,40 +414,56 @@ def build_index(
             from word2doc_spark.functions.tokenize import shared_analyzer
             analyzer = shared_analyzer(ngram=ngram, hash_size=hash_size,
                                        tokenizer=analyzer_name)
-            pos = None
+            pos: dict[int, int] = {}
             for pdf in it:
                 if len(pdf) == 0:
                     continue
-                if pos is None:
-                    pos = offsets[int(pdf["_pid"].iloc[0])]
+                pk = pdf["_pkey"].to_numpy()
+                row_ids = np.empty(len(pdf), dtype=np.int64)
+                for s, e, key in _walk_key_runs(pk):
+                    start = pos.get(key, offsets[key])
+                    row_ids[s:e] = np.arange(start, start + (e - s))
+                    pos[key] = start + (e - s)
                 texts = pdf["text"].fillna("").tolist()
                 term_lists, tf_lists = analyzer.analyze_batch(texts)
                 lens = np.fromiter((t.size for t in term_lists),
                                    dtype=np.int64, count=len(term_lists))
-                doc_ids = np.repeat(
-                    np.arange(pos, pos + len(pdf), dtype=np.int64), lens)
-                pos += len(pdf)
                 if lens.sum() == 0:
                     continue
-                yield pd.DataFrame({
-                    "doc_id": doc_ids,
+                parts = [pd.DataFrame({
+                    "doc_id": np.repeat(row_ids, lens),
                     "term_id": np.concatenate(term_lists),
                     "tf": np.concatenate(tf_lists).astype(np.int32),
-                })
+                })]
+                # per-doc dl rows under the sentinel term (dl = Σtf —
+                # exactly what the old groupBy over staged terms computed)
+                dls = np.fromiter((t.sum() for t in tf_lists),
+                                  dtype=np.int64, count=len(tf_lists))
+                mask = dls > 0
+                if mask.any():
+                    parts.append(pd.DataFrame({
+                        "doc_id": row_ids[mask],
+                        "term_id": np.full(int(mask.sum()), DL_TERM_ID,
+                                           dtype=np.int64),
+                        "tf": dls[mask].astype(np.int32),
+                    }))
+                yield pd.concat(parts, ignore_index=True)
 
-        terms = (ranged.select("text", "_pid")
+        terms = (ranged.select("text", "_pkey")
                  .mapInPandas(ids_and_analyze, "doc_id long, term_id long, tf int")
                  .withColumn("shard_id",
-                             F.pmod(F.col("term_id"), F.lit(config.num_shards))))
+                             F.when(F.col("term_id") < 0, F.lit(-1))
+                              .otherwise(F.pmod(F.col("term_id"),
+                                                F.lit(config.num_shards)))))
         (terms.write.mode("overwrite")
               .partitionBy("shard_id").parquet(stage_path))
         t_sub = _lap("analyze_stage", t_sub)
-        # doc lengths (bm25 dl): one cheap agg over the staged terms, stored
-        # twice — plain rows (exact path join, avgdl) and per-range blobs
-        # (doc-partitioned scoring ships one small cell per range, never a
-        # driver-side N-row materialization)
+        # doc lengths (bm25 dl): rewrite the sentinel partition as the
+        # plain doclen table (exact-path join, avgdl) — an N-row read of
+        # one hive partition, not a full-posting-stream aggregation
         staged = spark.read.parquet(stage_path)
-        (staged.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        (staged.filter(F.col("shard_id") == DL_TERM_ID)
+               .select("doc_id", F.col("tf").cast("long").alias("dl"))
                .write.mode("overwrite").parquet(doclen_path))
         t_sub = _lap("doclen", t_sub)
         doclen = spark.read.parquet(doclen_path)
@@ -412,7 +483,6 @@ def build_index(
                  .write.mode("overwrite").parquet(doclen_seg_path))
         t_sub = _lap("doclen_seg", t_sub)
         ranged.unpersist()
-        ext.unpersist()
         manifest.write_marker("stage", fp, wall_s=time.time() - t0,
                               n_docs=n_docs, range_width=range_width,
                               sub_walls=sub)
@@ -434,7 +504,10 @@ def build_index(
         "spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        staged_all = spark.read.parquet(stage_path)
+        # exclude the dl sentinel partition (shard_id=-1) — segment encode
+        # consumes posting triples only
+        staged_all = (spark.read.parquet(stage_path)
+                      .filter(F.col("shard_id") >= 0))
         for group in groups:
             todo = [s for s in group if s not in done]
             if not todo:

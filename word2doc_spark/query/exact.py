@@ -47,6 +47,12 @@ RESULT_SCHEMA = ("query_id long, rank int, doc_id long, url string, "
 # useful parquet filter (and bloats the plan); switch to a semi-join
 _ISIN_PRUNE_LIMIT = 20_000
 
+# above this many queries in a batch, driver-side analysis (one collect of
+# the batch) stops being safe — switch to the distributed pipeline where
+# analysis/weighting stay executor-side (ADVICE r2: multi-million-query
+# batches must not funnel through the driver)
+DISTRIBUTED_ANALYSIS_THRESHOLD = 50_000
+
 
 def analyze_queries(queries: DataFrame, config: IndexConfig) -> DataFrame:
     """Distributed variant: (query_id, query) → (query_id, term_id, qtf);
@@ -106,8 +112,22 @@ def analyze_queries_driver(queries: DataFrame, config: IndexConfig,
     })
 
 
-def _prune_terms(df: DataFrame, term_ids: list[int],
+def _prune_terms(df: DataFrame, term_ids,
                  num_shards: int) -> DataFrame:
+    """Prune a shard-partitioned table to the query batch's terms.
+    ``term_ids`` is a list (driver-analyzed batch) or a DataFrame with a
+    distinct ``term_id`` column (distributed batch: shard ids come from a
+    tiny ≤num_shards-row collect; term pruning is a broadcast semi-join,
+    the same shape the >_ISIN_PRUNE_LIMIT list path already uses)."""
+    if isinstance(term_ids, DataFrame):
+        shard_ids = sorted(
+            r["s"] for r in term_ids.select(
+                F.pmod(F.col("term_id"), F.lit(num_shards))
+                .cast("int").alias("s")).distinct().collect())
+        if len(shard_ids) < num_shards:
+            df = df.filter(F.col("shard_id").isin(shard_ids))
+        return df.join(F.broadcast(term_ids.select("term_id")),
+                       "term_id", "left_semi")
     shard_ids = sorted({t % num_shards for t in term_ids})
     if len(shard_ids) < num_shards:
         df = df.filter(F.col("shard_id").isin(shard_ids))
@@ -121,10 +141,13 @@ def _prune_terms(df: DataFrame, term_ids: list[int],
 
 
 def _matched_segments(spark: SparkSession, index_dir: str,
-                      term_ids: list[int], num_shards: int) -> DataFrame:
+                      term_ids, num_shards: int,
+                      with_counts: bool = False) -> DataFrame:
     segs = spark.read.parquet(os.path.join(index_dir, "shards"))
-    return _prune_terms(segs, term_ids, num_shards).select(
-        "term_id", "range_id", "doc_lo", "payload")
+    cols = ["term_id", "range_id", "doc_lo", "payload"]
+    if with_counts:
+        cols.insert(3, "n_postings")
+    return _prune_terms(segs, term_ids, num_shards).select(*cols)
 
 
 def weighted_query_terms(spark: SparkSession, index_dir: str,
@@ -151,6 +174,86 @@ def weighted_query_terms(spark: SparkSession, index_dir: str,
     return out[out["w"] > 0.0]
 
 
+def weighted_query_terms_distributed(spark: SparkSession, index_dir: str,
+                                     qt: DataFrame,
+                                     n_docs: int) -> DataFrame:
+    """Distributed twin of ``weighted_query_terms``: join the analyzed
+    query terms against the ``terms/`` stats table executor-side instead
+    of collecting per-term stats to the driver. Terms absent from the
+    index and zero-weight terms drop, exactly as in the driver variant.
+    The stats side is vocabulary-bounded (≤ hash_size rows), the qt side
+    is batch-sized — a plain shuffle join AQE can re-plan."""
+    stats = (spark.read.parquet(os.path.join(index_dir, "terms"))
+             .select("term_id", "df"))
+    idf = F.greatest(
+        F.lit(0.0),
+        F.log((F.lit(float(n_docs)) - F.col("df") + 0.5)
+              / (F.col("df") + 0.5)))
+    return (qt.join(stats, "term_id")
+              .withColumn("idf", idf)
+              .withColumn("w", F.log1p(F.col("qtf").cast("double"))
+                          * F.col("idf"))
+              .filter(F.col("w") > 0.0)
+              .select("query_id", "term_id", "w", "idf"))
+
+
+def resolve_analysis_mode(queries: DataFrame, analysis: str) -> str:
+    """'driver' | 'distributed' | 'auto' → concrete mode. Auto counts at
+    most THRESHOLD+1 rows (bounded job) to decide."""
+    if analysis in ("driver", "distributed"):
+        return analysis
+    if analysis != "auto":
+        raise ValueError(analysis)
+    n = queries.limit(DISTRIBUTED_ANALYSIS_THRESHOLD + 1).count()
+    return "distributed" if n > DISTRIBUTED_ANALYSIS_THRESHOLD else "driver"
+
+
+def _strict_check_distributed(queries: DataFrame, qt: DataFrame) -> None:
+    """B9 strict semantics for the distributed path: raise when any query
+    analyzed to zero kept terms (tfidf_doc_ranker.py:98-103)."""
+    missing = (queries.select("query_id", "query")
+               .join(qt.select("query_id").distinct(), "query_id",
+                     "left_anti").limit(1).collect())
+    if missing:
+        raise RuntimeError(f"No valid word in: {missing[0]['query']}")
+
+
+def prepare_weighted_terms(spark: SparkSession, index_dir: str,
+                           queries: DataFrame, config: IndexConfig,
+                           n_docs: int, strict: bool, analysis: str):
+    """Shared query-side prep for all three search paths.
+
+    → (qdf, term_pred, broadcastable, n_queries_hint) where qdf is the
+    weighted term DataFrame (query_id, term_id, w, idf), term_pred prunes
+    the segment scan (list of term_ids, or a distinct-term DataFrame),
+    broadcastable says whether qdf is driver-known-small, and
+    n_queries_hint is the distinct query count when driver-known (None in
+    distributed mode). Returns (None, None, False, 0) when no query term
+    matches the index (driver mode only — in distributed mode emptiness
+    propagates lazily)."""
+    mode = resolve_analysis_mode(queries, analysis)
+    if mode == "driver":
+        qt = analyze_queries_driver(queries, config, strict=strict)
+        if qt.empty:
+            return None, None, False, 0
+        wqt = weighted_query_terms(spark, index_dir, qt, n_docs,
+                                   config.num_shards)
+        if wqt.empty:
+            return None, None, False, 0
+        qdf = spark.createDataFrame(
+            wqt[["query_id", "term_id", "w", "idf"]],
+            "query_id long, term_id long, w double, idf double")
+        return (qdf, sorted({int(t) for t in wqt["term_id"]}), True,
+                int(wqt["query_id"].nunique()))
+    from pyspark import StorageLevel
+    qt = analyze_queries(queries, config).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    if strict:
+        _strict_check_distributed(queries, qt)
+    qdf = weighted_query_terms_distributed(spark, index_dir, qt, n_docs)
+    return qdf, qdf.select("term_id").distinct(), False, None
+
+
 def _empty_result(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], RESULT_SCHEMA)
 
@@ -172,8 +275,13 @@ def search_exact(
     k: int = 10,
     score_mode: str | None = None,
     strict: bool = False,
+    analysis: str = "auto",
 ) -> DataFrame:
-    """→ (query_id long, rank int, doc_id long, url string, score double)."""
+    """→ (query_id long, rank int, doc_id long, url string, score double).
+
+    analysis: 'driver' (collect the query batch — the small-batch default),
+    'distributed' (analysis + weighting stay executor-side for huge
+    batches), or 'auto' (switch on DISTRIBUTED_ANALYSIS_THRESHOLD)."""
     manifest = Manifest(index_dir)
     config, stats = manifest.load()
     mode = score_mode or config.score_mode
@@ -183,21 +291,13 @@ def search_exact(
     avgdl = float(stats["avgdl"])
     k1, b = config.k1, config.b
 
-    qt = analyze_queries_driver(queries, config, strict=strict)
-    if qt.empty:
+    qdf, term_pred, bcast, _nq = prepare_weighted_terms(
+        spark, index_dir, queries, config, n_docs, strict, analysis)
+    if qdf is None:
         return _empty_result(spark)
-    wqt = weighted_query_terms(spark, index_dir, qt, n_docs,
-                               config.num_shards)
-    if wqt.empty:
-        return _empty_result(spark)
-
-    segs = _matched_segments(spark, index_dir,
-                             sorted({int(t) for t in wqt["term_id"]}),
+    segs = _matched_segments(spark, index_dir, term_pred,
                              config.num_shards)
-    qdf = spark.createDataFrame(
-        wqt[["query_id", "term_id", "w", "idf"]],
-        "query_id long, term_id long, w double, idf double")
-    joined = segs.join(F.broadcast(qdf), "term_id")
+    joined = segs.join(F.broadcast(qdf) if bcast else qdf, "term_id")
 
     if mode == "drqa":
         out_schema = "query_id long, doc_id long, contrib double"

@@ -42,9 +42,12 @@ def fast_topk(
     term_rows,
     k: int, mode: str, k1: float, b: float, avgdl: float,
     dl,
+    theta0: float = -1.0,
 ) -> list[tuple[int, float]]:
     """Exact top-k by full vectorized accumulation. term_rows: (w_q, idf,
-    payload-or-[payloads]); dl: dense array, SparseDL, or None."""
+    payload-or-[payloads]); dl: dense array, SparseDL, or None. theta0 is
+    accepted for kernel-signature parity with wand_topk; a full scan has
+    nothing to prune with it."""
     doc_parts: list[np.ndarray] = []
     score_parts: list[np.ndarray] = []
     for w, idf, payload in term_rows:
@@ -86,8 +89,10 @@ def search_fast(
     k: int = 10,
     score_mode: str | None = None,
     strict: bool = False,
+    analysis: str = "auto",
 ) -> DataFrame:
     """Same output contract (and rows) as search_exact / search_wand."""
     from word2doc_spark.query.ranges import search_doc_partitioned
     return search_doc_partitioned(spark, index_dir, queries, k, score_mode,
-                                  fast_topk, strict=strict)
+                                  fast_topk, strict=strict,
+                                  analysis=analysis)

@@ -35,11 +35,14 @@ import pyspark.sql.functions as F
 from word2doc_spark.index.manifest import Manifest
 from word2doc_spark.index.postings import decode_postings
 from word2doc_spark.query.exact import (
-    _empty_result, _matched_segments, analyze_queries_driver, attach_urls,
-    weighted_query_terms,
+    _empty_result, _matched_segments, attach_urls, prepare_weighted_terms,
 )
 
 CAND_SCHEMA = "query_id long, doc_id long, score double"
+
+# θ seeding collects O(Q) (id, float) rows to the driver — safe far past
+# the analysis threshold, but skip it for truly enormous batches
+SEED_MAX_QUERIES = 200_000
 
 
 class SparseDL:
@@ -80,11 +83,14 @@ def decode_dl_blobs(dlpdf: pd.DataFrame) -> SparseDL | None:
 
 
 def _score_range(pdf: pd.DataFrame, dl, k: int, mode: str, k1: float,
-                 b: float, avgdl: float, topk_fn) -> pd.DataFrame:
+                 b: float, avgdl: float, topk_fn,
+                 seeds=None) -> pd.DataFrame:
     """Score one doc range: group matched segments per query, chain each
     term's segments in doc order, run the DAAT kernel, emit candidates.
     Grouping is one lexsort + numpy boundary walks (no per-group pandas
-    frames — the hot loop runs once per (query, term), not per row)."""
+    frames — the hot loop runs once per (query, term), not per row).
+    ``seeds``: optional {query_id: θ0} lower bounds (see search_wand
+    seeding) passed through to the kernel."""
     qids = pdf["query_id"].to_numpy()
     tids = pdf["term_id"].to_numpy()
     dlos = pdf["doc_lo"].to_numpy()
@@ -109,7 +115,9 @@ def _score_range(pdf: pd.DataFrame, dl, k: int, mode: str, k1: float,
             for s, e in zip(starts, ends)
         ]
         qid = int(qids[qs])
-        for doc, score in topk_fn(term_rows, k, mode, k1, b, avgdl, dl):
+        theta0 = seeds.get(qid, -1.0) if seeds else -1.0
+        for doc, score in topk_fn(term_rows, k, mode, k1, b, avgdl, dl,
+                                  theta0=theta0):
             out_q.append(qid)
             out_d.append(doc)
             out_s.append(score)
@@ -128,10 +136,25 @@ def search_doc_partitioned(
     score_mode: str | None,
     topk_fn,
     strict: bool = False,
+    analysis: str = "auto",
+    seed_theta: bool = False,
 ) -> DataFrame:
     """Shared driver for the fast and WAND paths. topk_fn: DAAT kernel
-    (term_rows=[(w, idf, [payload,...])], k, mode, k1, b, avgdl, dl) →
-    [(doc_id, score)] ordered (score desc, doc_id asc)."""
+    (term_rows=[(w, idf, [payload,...])], k, mode, k1, b, avgdl, dl,
+    theta0=) → [(doc_id, score)] ordered (score desc, doc_id asc).
+
+    analysis: 'driver' | 'distributed' | 'auto' — see search_exact.
+
+    seed_theta=True (WAND) runs a cheap pre-pass that scores, per query,
+    only its densest doc range (chosen from segment METADATA — a
+    payload-free column-pruned scan) and seeds every range task's pruning
+    threshold with just-below that range's k-th score. A range's local
+    k-th score is ≤ the global k-th score, and the seed sits strictly
+    below it, so a doc scoring ≥ the global k-th can never be pruned —
+    exactness (incl. doc_id tie-breaks) is preserved; differential tests
+    assert identity. This restores cross-range pruning power that
+    per-range θ restarts lose as n_ranges grows (10^4+ ranges at the
+    10^12-doc sizing)."""
     manifest = Manifest(index_dir)
     config, stats = manifest.load()
     mode = score_mode or config.score_mode
@@ -141,30 +164,52 @@ def search_doc_partitioned(
     avgdl = float(stats["avgdl"])
     k1, b = config.k1, config.b
 
-    qt = analyze_queries_driver(queries, config, strict=strict)
-    if qt.empty:
+    qdf, term_pred, bcast, nq = prepare_weighted_terms(
+        spark, index_dir, queries, config, n_docs, strict, analysis)
+    if qdf is None:
         return _empty_result(spark)
-    wqt = weighted_query_terms(spark, index_dir, qt, n_docs,
-                               config.num_shards)
-    if wqt.empty:
-        return _empty_result(spark)
-
-    segs = _matched_segments(spark, index_dir,
-                             sorted({int(t) for t in wqt["term_id"]}),
+    n_q = nq if nq is not None else queries.count()
+    segs = _matched_segments(spark, index_dir, term_pred,
                              config.num_shards)
-    qdf = spark.createDataFrame(
-        wqt[["query_id", "term_id", "w", "idf"]],
-        "query_id long, term_id long, w double, idf double")
+    jqdf = F.broadcast(qdf) if bcast else qdf
     # sub-partition the scoring shuffle by query bucket too: join output is
     # already one row per (query, segment), so extra buckets add NO shuffle
     # volume — they turn n_ranges straggler-bound tasks into
     # n_ranges × n_buckets balanced ones for large batches
-    n_buckets = int(min(32, max(1, wqt["query_id"].nunique() // 32)))
-    joined = (segs.join(F.broadcast(qdf), "term_id")
+    n_buckets = int(min(32, max(1, n_q // 32)))
+    joined = (segs.join(jqdf, "term_id")
               .withColumn("qb", F.pmod(F.col("query_id"), F.lit(n_buckets))
                           .cast("int"))
               .select("range_id", "qb", "query_id", "term_id", "w", "idf",
                       "doc_lo", "payload"))
+
+    seeds = None
+    if seed_theta and n_q <= SEED_MAX_QUERIES:
+        seeds = _theta_seeds(spark, index_dir, jqdf, term_pred, config,
+                             joined, k, mode, k1, b, avgdl, topk_fn,
+                             n_buckets)
+    bseeds = spark.sparkContext.broadcast(seeds) if seeds else None
+
+    cand = _score_all_ranges(spark, index_dir, joined, k, mode, k1, b,
+                             avgdl, topk_fn, n_buckets, bseeds)
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    topk = (cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k))
+    return attach_urls(spark, index_dir, topk)
+
+
+def _score_all_ranges(spark, index_dir, joined, k, mode, k1, b, avgdl,
+                      topk_fn, n_buckets, bseeds=None,
+                      pair_filter: DataFrame | None = None):
+    """(range_id, qb)-partitioned scoring of a joined (segments × query
+    terms) DataFrame → candidate rows. ``pair_filter``: optional tiny
+    (query_id, range_id) DataFrame — broadcast-joined in to score only
+    those slices (the θ-seed pre-pass)."""
+    if pair_filter is not None:
+        joined = joined.join(F.broadcast(pair_filter),
+                             ["query_id", "range_id"])
 
     if mode == "bm25":
         # per-range dl blobs replicated once per query bucket (dl is a tiny
@@ -187,20 +232,47 @@ def search_doc_partitioned(
                 raise RuntimeError(
                     "bm25 scoring: no doclen_seg blobs for a range with "
                     f"matched segments (range_id={rid})")
-            return _score_range(left, dl, k, mode, k1, b, avgdl, topk_fn)
+            return _score_range(left, dl, k, mode, k1, b, avgdl, topk_fn,
+                                seeds=bseeds.value if bseeds else None)
 
-        cand = (joined.groupby("range_id", "qb")
+        return (joined.groupby("range_id", "qb")
                 .cogroup(dlseg.groupby("range_id", "qb"))
                 .applyInPandas(run, CAND_SCHEMA))
-    else:
-        def run1(pdf: pd.DataFrame) -> pd.DataFrame:
-            return _score_range(pdf, None, k, mode, k1, b, avgdl, topk_fn)
 
-        cand = (joined.groupBy("range_id", "qb")
-                .applyInPandas(run1, CAND_SCHEMA))
+    def run1(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _score_range(pdf, None, k, mode, k1, b, avgdl, topk_fn,
+                            seeds=bseeds.value if bseeds else None)
 
-    w = Window.partitionBy("query_id").orderBy(
+    return (joined.groupBy("range_id", "qb")
+            .applyInPandas(run1, CAND_SCHEMA))
+
+
+def _theta_seeds(spark, index_dir, jqdf, term_pred, config, joined,
+                 k, mode, k1, b, avgdl, topk_fn, n_buckets):
+    """{query_id: θ0} — score each query's densest range only, take the
+    k-th score, seed just BELOW it (np.nextafter) so equal-scoring docs in
+    other ranges survive and tie-breaks stay exact. The densest range is
+    picked from segment metadata (term_id, range_id, n_postings — payload
+    never read). Queries with < k docs in their densest range get no seed.
+    """
+    meta = _matched_segments(spark, index_dir, term_pred,
+                             config.num_shards, with_counts=True) \
+        .select("term_id", "range_id", "n_postings")
+    per = (meta.join(jqdf, "term_id")
+           .groupBy("query_id", "range_id")
+           .agg(F.sum("n_postings").alias("np")))
+    wb = Window.partitionBy("query_id").orderBy(
+        F.desc("np"), F.asc("range_id"))
+    pairs = (per.withColumn("_r", F.row_number().over(wb))
+             .filter(F.col("_r") == 1)
+             .select("query_id", "range_id"))
+    seed_cand = _score_all_ranges(spark, index_dir, joined, k, mode, k1,
+                                  b, avgdl, topk_fn, n_buckets,
+                                  pair_filter=pairs)
+    wk = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id"))
-    topk = (cand.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k))
-    return attach_urls(spark, index_dir, topk)
+    kth = (seed_cand.withColumn("_r", F.row_number().over(wk))
+           .filter(F.col("_r") == k)
+           .select("query_id", "score").collect())
+    return {int(r["query_id"]): float(np.nextafter(r["score"], -np.inf))
+            for r in kth} or None

@@ -31,6 +31,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 from word2doc_spark.index.postings import block_directory, decode_block
 
+# per-process pruning counters (reset_stats/get_stats) — lets tests and
+# local drivers measure block-skip rates; per-executor, not aggregated
+STATS = {"blocks_decoded": 0, "blocks_skipped": 0}
+
+
+def reset_stats() -> None:
+    STATS["blocks_decoded"] = 0
+    STATS["blocks_skipped"] = 0
+
+
+def get_stats() -> dict:
+    return dict(STATS)
+
 
 class _Cursor:
     """Lazy block-decoding posting cursor for one query term, chaining the
@@ -80,6 +93,7 @@ class _Cursor:
         self.docs, self.tfs = decode_block(
             self.payloads[self.seg_of[bi]], int(self.offs[bi]),
             int(self.prevs[bi]))
+        STATS["blocks_decoded"] += 1
         self.bi = bi
         self.pos = 0
 
@@ -103,8 +117,10 @@ class _Cursor:
         while bi < self._nblocks and int(self.lasts[bi]) < target:
             bi += 1
         if bi >= self._nblocks:
+            STATS["blocks_skipped"] += self._nblocks - self.bi - 1
             self.exhausted = True
         elif bi != self.bi:
+            STATS["blocks_skipped"] += bi - self.bi - 1
             self._load_block(bi)
 
     def seek(self, target: int) -> None:
@@ -135,12 +151,19 @@ def wand_topk(
     b: float,
     avgdl: float,
     dl,
+    theta0: float = -1.0,
 ) -> list[tuple[int, float]]:
     """One query's exact top-k via block-max WAND.
 
     term_rows: (w_q, idf, payload-or-[payloads]) per matched term; dl is a
     dense array, SparseDL, or None. Returns [(doc_id, score)] ordered by
     (score desc, doc_id asc).
+
+    theta0: optional pruning seed — a STRICT lower bound just below some
+    k actual document scores (query/ranges.py seeds it just below the
+    densest range's k-th score). Docs scoring ≥ the true global k-th can
+    never be pruned by it, so results stay exact; ranges whose best docs
+    fall below the seed emit fewer (never wrong) candidates.
     """
     cursors: list[_Cursor] = []
     for w, idf, payload in term_rows:
@@ -157,7 +180,7 @@ def wand_topk(
                                 (mx + k1 * (1.0 - b))))
     cursors = [c for c in cursors if not c.exhausted]
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
-    theta = -1.0
+    theta = theta0
 
     def score_at(c: _Cursor, doc: int) -> float:
         tf = c.cur_tf()
@@ -219,10 +242,10 @@ def wand_topk(
             if len(heap) < k:
                 heapq.heappush(heap, (score, -pivot_doc))
                 if len(heap) == k:
-                    theta = heap[0][0]
+                    theta = max(heap[0][0], theta0)
             elif score > theta:
                 heapq.heapreplace(heap, (score, -pivot_doc))
-                theta = heap[0][0]
+                theta = max(heap[0][0], theta0)
         else:
             # advance all pre-pivot cursors to the pivot doc
             for c in cursors[:pivot_idx]:
@@ -240,9 +263,15 @@ def search_wand(
     k: int = 10,
     score_mode: str | None = None,
     strict: bool = False,
+    analysis: str = "auto",
+    seed_theta: bool = True,
 ) -> DataFrame:
     """→ (query_id, rank, doc_id, url, score); identical output contract
-    (and, by differential test, identical rows) to ``search_exact``."""
+    (and, by differential test, identical rows) to ``search_exact``.
+    seed_theta pre-scores each query's densest range and seeds every
+    range task's θ so pruning power survives large n_ranges (see
+    ranges.search_doc_partitioned)."""
     from word2doc_spark.query.ranges import search_doc_partitioned
     return search_doc_partitioned(spark, index_dir, queries, k, score_mode,
-                                  wand_topk, strict=strict)
+                                  wand_topk, strict=strict,
+                                  analysis=analysis, seed_theta=seed_theta)

@@ -6,7 +6,8 @@ Four families, all over a ``documents(doc_id, text, ...)`` table:
 * minhash LSH  — shingle → K minhashes → B bands → bucket self-join →
                  candidate pairs (+ optional exact-jaccard verify)
 * n-gram jaccard — shingle-inverted-index pair generation + exact jaccard
-* simhash      — 64-bit simhash via vectorized pandas UDF + hamming bucket
+* simhash      — 60-bit simhash via built-in conditional-sum aggregates
+                 + pigeonhole hamming bands
 
 Scale notes: every pair-generating op goes through an equi-join on a
 bucket/band/shingle key — never a cross join. Hot shingles are dropped by
@@ -44,17 +45,23 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     joins: the old plan exploded the token stream and self-joined it
     (n−1) times on (doc_id, pos), shuffling the full token table twice
     for n=3; this shape keeps shingle construction inside whole-stage
-    codegen and the only shuffle is the final distinct."""
-    toks = sql_tokens("text")
+    codegen and the only shuffle is the final distinct.
+
+    The token array is materialized in its OWN projection first: Catalyst
+    does not CSE expressions into higher-order-function lambdas, so
+    referencing sql_tokens(...) directly inside transform() re-tokenizes
+    the document once per element (measured 6× slower at sf0.1)."""
+    tok_df = docs.select("doc_id", sql_tokens("text").alias("_tk"))
+    tk = F.col("_tk")
     # sequence(0, size-n) would COUNT DOWN when size < n (Spark infers a
     # negative step) — guard short docs to an empty shingle list instead
     per_row = F.when(
-        F.size(toks) >= n,
+        F.size(tk) >= n,
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+            F.sequence(F.lit(0), F.size(tk) - n),
+            lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n))),
     ).otherwise(F.array().cast("array<string>"))
-    return (docs.select("doc_id", F.explode(per_row).alias("shingle"))
+    return (tok_df.select("doc_id", F.explode(per_row).alias("shingle"))
             .distinct())
 
 

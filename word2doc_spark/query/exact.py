@@ -204,6 +204,10 @@ def resolve_analysis_mode(queries: DataFrame, analysis: str) -> str:
         return analysis
     if analysis != "auto":
         raise ValueError(analysis)
+    # a LocalRelation batch (createDataFrame) is driver-resident already —
+    # no job needed to know it is small
+    if queries.isLocal():
+        return "driver"
     n = queries.limit(DISTRIBUTED_ANALYSIS_THRESHOLD + 1).count()
     return "distributed" if n > DISTRIBUTED_ANALYSIS_THRESHOLD else "driver"
 

@@ -43,6 +43,12 @@ CAND_SCHEMA = "query_id long, doc_id long, score double"
 # θ seeding collects O(Q) (id, float) rows to the driver — safe far past
 # the analysis threshold, but skip it for truly enormous batches
 SEED_MAX_QUERIES = 200_000
+# 'auto' seeding threshold: below this many doc ranges the per-range θ
+# restart costs little and the seed pre-pass (an extra metadata job + one
+# range's scoring) is pure overhead; above it, pruning loss compounds
+# per range and seeding pays (measured: 32-range sf0.1 bench loses ~2×
+# wall to always-on seeding; the 10^12-doc sizing uses 10^4+ ranges)
+SEED_MIN_RANGES = 64
 
 
 class SparseDL:
@@ -137,7 +143,7 @@ def search_doc_partitioned(
     topk_fn,
     strict: bool = False,
     analysis: str = "auto",
-    seed_theta: bool = False,
+    seed_theta: bool | str = False,
 ) -> DataFrame:
     """Shared driver for the fast and WAND paths. topk_fn: DAAT kernel
     (term_rows=[(w, idf, [payload,...])], k, mode, k1, b, avgdl, dl,
@@ -145,7 +151,10 @@ def search_doc_partitioned(
 
     analysis: 'driver' | 'distributed' | 'auto' — see search_exact.
 
-    seed_theta=True (WAND) runs a cheap pre-pass that scores, per query,
+    seed_theta (WAND): True, False, or 'auto' (seed only when the index
+    has ≥ SEED_MIN_RANGES doc ranges — where per-range θ restarts
+    actually cost pruning power). Seeding runs a cheap pre-pass that
+    scores, per query,
     only its densest doc range (chosen from segment METADATA — a
     payload-free column-pruned scan) and seeds every range task's pruning
     threshold with just-below that range's k-th score. A range's local
@@ -183,8 +192,11 @@ def search_doc_partitioned(
               .select("range_id", "qb", "query_id", "term_id", "w", "idf",
                       "doc_lo", "payload"))
 
+    do_seed = (seed_theta is True
+               or (seed_theta == "auto"
+                   and config.n_ranges >= SEED_MIN_RANGES))
     seeds = None
-    if seed_theta and n_q <= SEED_MAX_QUERIES:
+    if do_seed and n_q <= SEED_MAX_QUERIES:
         seeds = _theta_seeds(spark, index_dir, jqdf, term_pred, config,
                              joined, k, mode, k1, b, avgdl, topk_fn,
                              n_buckets)

@@ -276,3 +276,17 @@ def test_shingles_short_docs(spark):
     assert 0 not in by_doc and 2 not in by_doc and 3 not in by_doc
     # 8 tokens -> 6 positional 3-grams, 3 distinct after dedup
     assert sorted(by_doc[1]) == ["a b c", "b c a", "c a b"]
+
+
+def test_ivf_pandas_codebook_path_matches_literal(vectors, monkeypatch):
+    """The Arrow-batched large-codebook path returns the same top-k as
+    the literal-expression path (tie semantics included)."""
+    q = (vectors.filter(F.col("vec_id") < 4)
+         .select(F.col("vec_id").alias("query_vec_id"), "embedding"))
+    lit = S.ivf_topk(vectors, q, k=5, n_cells=12, n_probe=4).collect()
+    monkeypatch.setattr(S, "_CENT_LITERAL_MAX_FLOATS", 1)
+    pnd = S.ivf_topk(vectors, q, k=5, n_cells=12, n_probe=4).collect()
+    assert sorted((r["query_vec_id"], r["rank"], r["neighbor_id"],
+                   round(r["cosine"], 6)) for r in lit) == \
+        sorted((r["query_vec_id"], r["rank"], r["neighbor_id"],
+                round(r["cosine"], 6)) for r in pnd)

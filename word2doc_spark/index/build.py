@@ -301,6 +301,51 @@ def _url_bucket_col(bounds: list[str]):
     return F.size(F.filter(arr, lambda b: F.col("url") >= b)).cast("int")
 
 
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & 0xFFFFFFFF
+
+
+def _murmur3_int(k: int, seed: int = 42) -> int:
+    """Spark's ``hash()`` of an IntegerType column (Murmur3 x86_32 hashInt,
+    seed 42) — verified bit-identical against F.hash. Public-domain
+    algorithm (Appleby)."""
+    k = (k & 0xFFFFFFFF) * 0xcc9e2d51 & 0xFFFFFFFF
+    k = _rotl32(k, 15) * 0x1b873593 & 0xFFFFFFFF
+    h = seed ^ k
+    h = (_rotl32(h, 13) * 5 + 0xe6546b64) & 0xFFFFFFFF
+    h ^= 4
+    h ^= h >> 16
+    h = (h * 0x85ebca6b) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xc2b2ae35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def _spark_hash_partition(k: int, n_parts: int) -> int:
+    h = _murmur3_int(k)
+    signed = h - (1 << 32) if h >= (1 << 31) else h
+    return signed % n_parts  # python % == Spark pmod (non-negative)
+
+
+def _partition_slots(n_parts: int) -> list[int]:
+    """slot[i] = an int Spark hash-partitions to exactly i. Mapping each
+    url bucket through its slot makes ``repartition(n, slot)`` place every
+    bucket in its OWN task — range-partition balance without the
+    range-sampling job (plain hash placement of n keys into n partitions
+    loses ~2.5× to balls-in-bins collisions). Coupon-collector search,
+    O(n·ln n) driver-side hashes."""
+    slots: list[int | None] = [None] * n_parts
+    found, k = 0, 0
+    while found < n_parts:
+        p = _spark_hash_partition(k, n_parts)
+        if slots[p] is None:
+            slots[p] = k
+            found += 1
+        k += 1
+    return slots  # type: ignore[return-value]
+
+
 def _walk_key_runs(keys: np.ndarray):
     """Yield (start, end, key) for consecutive equal-key runs."""
     change = np.concatenate(
@@ -363,12 +408,20 @@ def build_index(
         # re-runs the extract UDF for boundary sampling and only ONE cache
         # materialization is needed (the old repartitionByRange plan paid
         # a sampling job through the extract UDF plus a second cache)
-        bounds = _sample_url_bounds(pages, n_buckets=sp * 4)
+        bounds = _sample_url_bounds(pages, n_buckets=sp)
         t_sub = _lap("url_bounds", t0)
         ext = extracted_docs(pages, lang_filter, preprocess=preprocess)
+        # bucket → slot → own shuffle partition (perfect balance; see
+        # _partition_slots). sortWithinPartitions keeps (_pkey, url) order
+        # so id assignment walks bucket runs even if buckets ever share a
+        # task (e.g. collapsed duplicate boundaries).
+        slots = F.array(*[F.lit(s) for s in _partition_slots(sp)])
         ranged = (ext.withColumn("_pkey", _url_bucket_col(bounds))
-                     .repartition(sp, "_pkey")
+                     .withColumn("_pslot", F.element_at(
+                         slots, F.col("_pkey") + 1))
+                     .repartition(sp, "_pslot")
                      .sortWithinPartitions("_pkey", "url")
+                     .drop("_pslot")
                      .persist(StorageLevel.MEMORY_AND_DISK))
         counts = {r["_pkey"]: r["cnt"] for r in
                   ranged.groupBy("_pkey").agg(F.count("*").alias("cnt"))

@@ -112,6 +112,13 @@ def train_centroids(vectors: DataFrame,
             for r in rows]
 
 
+# above this many codebook floats the literal-array plan (n_cells × dim
+# literals baked into every expression) stops being sane — switch to the
+# Arrow-batched numpy path (same argmax/probe answers; the exact-SQL twin
+# uses the small-codebook literal form)
+_CENT_LITERAL_MAX_FLOATS = 16_384
+
+
 def _cent_scored(emb_col, cent) -> F.Column:
     """array<struct(csim, neg_cell)> — cosine of one row's embedding
     against every centroid, computed per row from the codebook literal
@@ -127,6 +134,51 @@ def _cent_scored(emb_col, cent) -> F.Column:
         (-c["cell_id"]).alias("neg_cell")))
 
 
+def _cent_is_literal(cent) -> bool:
+    return sum(len(emb) for _, emb in cent) <= _CENT_LITERAL_MAX_FLOATS
+
+
+def _closest_cells_pandas(df: DataFrame, cent, id_col: str, emb_col: str,
+                          keep: int) -> DataFrame:
+    """Arrow-batched top-``keep`` centroid assignment for LARGE codebooks:
+    one local matmul per batch against the process-broadcast centroid
+    matrix — still shuffle-free and embarrassingly parallel. Ordering
+    matches the literal path (csim desc on the 6-dp-rounded value,
+    cell_id asc); the numpy dot's summation order can differ from the
+    JVM fold in the last bit, which the 6-dp rounding absorbs — the
+    literal path remains the exact-SQL-twin surface for small codebooks.
+    Emits (id, embedding, cell_id) rows (embedding repeated keep times)."""
+    import pandas as pd
+
+    # cell_id-ascending column order makes stable argsort break csim
+    # ties toward the smallest cell_id, like the literal struct ordering
+    cent_sorted = sorted(cent)
+    cell_ids = np.array([c for c, _ in cent_sorted], dtype=np.int64)
+    cmat = np.array([e for _, e in cent_sorted], dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    emb_type = dict(df.dtypes)[emb_col]
+    schema = f"{id_col} long, {emb_col} {emb_type}, cell_id long"
+
+    def run(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            emb = np.array([np.asarray(v, dtype=np.float64)
+                            for v in pdf[emb_col]])
+            sims = (emb @ cmat.T) / (
+                np.linalg.norm(emb, axis=1)[:, None] * cnorm[None, :])
+            sims = np.round(sims, 6)
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :keep]
+            n = len(pdf)
+            yield pd.DataFrame({
+                id_col: np.repeat(pdf[id_col].to_numpy(), keep),
+                emb_col: [v for v in pdf[emb_col] for _ in range(keep)],
+                "cell_id": cell_ids[order].reshape(n * keep),
+            })
+
+    return df.select(id_col, emb_col).mapInPandas(run, schema=schema)
+
+
 def ivf_assign(vectors: DataFrame, cent: list[tuple[int, list[float]]],
                id_col: str = "vec_id",
                emb_col: str = "embedding") -> DataFrame:
@@ -134,7 +186,10 @@ def ivf_assign(vectors: DataFrame, cent: list[tuple[int, list[float]]],
     centroid by a per-row argmax (array_max over the scored codebook).
     Shuffle-free and embarrassingly parallel: the old plan shuffled all
     N × n_cells scored rows through a row_number window (N^1.5 rows at
-    n_cells=O(√N))."""
+    n_cells=O(√N)). Small codebooks use JVM literal expressions (exact
+    SQL twin); large ones an Arrow-batched matmul."""
+    if not _cent_is_literal(cent):
+        return _closest_cells_pandas(vectors, cent, id_col, emb_col, 1)
     best = F.array_max(_cent_scored(emb_col, cent))
     return vectors.select(id_col, emb_col,
                           (-best["neg_cell"]).alias("cell_id"))
@@ -199,16 +254,20 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     # per-query probe list: sort the scored codebook descending per row,
     # keep n_probe, explode — no crossJoin, no window
     q = queries.select("query_vec_id", F.col("embedding").alias("qe"))
-    scored_cells = _cent_scored("qe", centroids)
-    probe_arr = F.slice(
-        F.array_sort(scored_cells,
-                     lambda a, b: F.when(a > b, -1)
-                                   .when(a < b, 1).otherwise(0)),
-        1, n_probe)
-    probes = (q.select("query_vec_id", "qe",
-                       F.explode(probe_arr).alias("pc"))
-               .select("query_vec_id", "qe",
-                       (-F.col("pc.neg_cell")).alias("cell_id")))
+    if _cent_is_literal(centroids):
+        scored_cells = _cent_scored("qe", centroids)
+        probe_arr = F.slice(
+            F.array_sort(scored_cells,
+                         lambda a, b: F.when(a > b, -1)
+                                       .when(a < b, 1).otherwise(0)),
+            1, n_probe)
+        probes = (q.select("query_vec_id", "qe",
+                           F.explode(probe_arr).alias("pc"))
+                   .select("query_vec_id", "qe",
+                           (-F.col("pc.neg_cell")).alias("cell_id")))
+    else:
+        probes = _closest_cells_pandas(q, centroids, "query_vec_id", "qe",
+                                       n_probe)
     cand = (assignment.join(F.broadcast(probes), "cell_id")
             .filter(F.col("vec_id") != F.col("query_vec_id")))
     scored = cand.select(

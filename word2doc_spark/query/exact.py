@@ -227,27 +227,28 @@ def prepare_weighted_terms(spark: SparkSession, index_dir: str,
                            n_docs: int, strict: bool, analysis: str):
     """Shared query-side prep for all three search paths.
 
-    → (qdf, term_pred, broadcastable, n_queries_hint) where qdf is the
+    → (qdf, term_pred, wqt_pandas, n_queries_hint) where qdf is the
     weighted term DataFrame (query_id, term_id, w, idf), term_pred prunes
     the segment scan (list of term_ids, or a distinct-term DataFrame),
-    broadcastable says whether qdf is driver-known-small, and
-    n_queries_hint is the distinct query count when driver-known (None in
-    distributed mode). Returns (None, None, False, 0) when no query term
-    matches the index (driver mode only — in distributed mode emptiness
-    propagates lazily)."""
+    wqt_pandas is the driver-resident weighted-terms table when the batch
+    was analyzed driver-side (None in distributed mode — its presence IS
+    the broadcastable signal), and n_queries_hint is the distinct query
+    count when driver-known. Returns (None, None, None, 0) when no query
+    term matches the index (driver mode only — in distributed mode
+    emptiness propagates lazily)."""
     mode = resolve_analysis_mode(queries, analysis)
     if mode == "driver":
         qt = analyze_queries_driver(queries, config, strict=strict)
         if qt.empty:
-            return None, None, False, 0
+            return None, None, None, 0
         wqt = weighted_query_terms(spark, index_dir, qt, n_docs,
                                    config.num_shards)
         if wqt.empty:
-            return None, None, False, 0
+            return None, None, None, 0
         qdf = spark.createDataFrame(
             wqt[["query_id", "term_id", "w", "idf"]],
             "query_id long, term_id long, w double, idf double")
-        return (qdf, sorted({int(t) for t in wqt["term_id"]}), True,
+        return (qdf, sorted({int(t) for t in wqt["term_id"]}), wqt,
                 int(wqt["query_id"].nunique()))
     from pyspark import StorageLevel
     qt = analyze_queries(queries, config).persist(
@@ -255,7 +256,7 @@ def prepare_weighted_terms(spark: SparkSession, index_dir: str,
     if strict:
         _strict_check_distributed(queries, qt)
     qdf = weighted_query_terms_distributed(spark, index_dir, qt, n_docs)
-    return qdf, qdf.select("term_id").distinct(), False, None
+    return qdf, qdf.select("term_id").distinct(), None, None
 
 
 def _empty_result(spark: SparkSession) -> DataFrame:
@@ -295,13 +296,14 @@ def search_exact(
     avgdl = float(stats["avgdl"])
     k1, b = config.k1, config.b
 
-    qdf, term_pred, bcast, _nq = prepare_weighted_terms(
+    qdf, term_pred, wqt, _nq = prepare_weighted_terms(
         spark, index_dir, queries, config, n_docs, strict, analysis)
     if qdf is None:
         return _empty_result(spark)
     segs = _matched_segments(spark, index_dir, term_pred,
                              config.num_shards)
-    joined = segs.join(F.broadcast(qdf) if bcast else qdf, "term_id")
+    joined = segs.join(F.broadcast(qdf) if wqt is not None else qdf,
+                       "term_id")
 
     if mode == "drqa":
         out_schema = "query_id long, doc_id long, contrib double"

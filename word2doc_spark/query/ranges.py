@@ -173,37 +173,49 @@ def search_doc_partitioned(
     avgdl = float(stats["avgdl"])
     k1, b = config.k1, config.b
 
-    qdf, term_pred, bcast, nq = prepare_weighted_terms(
+    qdf, term_pred, wqt, nq = prepare_weighted_terms(
         spark, index_dir, queries, config, n_docs, strict, analysis)
     if qdf is None:
         return _empty_result(spark)
     n_q = nq if nq is not None else queries.count()
-    segs = _matched_segments(spark, index_dir, term_pred,
-                             config.num_shards)
-    jqdf = F.broadcast(qdf) if bcast else qdf
-    # sub-partition the scoring shuffle by query bucket too: join output is
-    # already one row per (query, segment), so extra buckets add NO shuffle
-    # volume — they turn n_ranges straggler-bound tasks into
-    # n_ranges × n_buckets balanced ones for large batches
-    n_buckets = int(min(32, max(1, n_q // 32)))
-    joined = (segs.join(jqdf, "term_id")
-              .withColumn("qb", F.pmod(F.col("query_id"), F.lit(n_buckets))
-                          .cast("int"))
-              .select("range_id", "qb", "query_id", "term_id", "w", "idf",
-                      "doc_lo", "payload"))
-
+    # auto-seed gate: many ranges (per-range θ restarts cost pruning) AND
+    # deep segments (avg postings/segment ≥ 2 blocks — shallow segments
+    # leave block-max nothing to skip, so the pre-pass is pure overhead;
+    # measured +20% on a 500k corpus whose segments average 5 postings)
+    seg_depth = (float(stats.get("n_postings", 0))
+                 / max(float(stats.get("n_segments", 0) or 0), 1.0))
     do_seed = (seed_theta is True
                or (seed_theta == "auto"
-                   and config.n_ranges >= SEED_MIN_RANGES))
-    seeds = None
-    if do_seed and n_q <= SEED_MAX_QUERIES:
-        seeds = _theta_seeds(spark, index_dir, jqdf, term_pred, config,
-                             joined, k, mode, k1, b, avgdl, topk_fn,
-                             n_buckets)
-    bseeds = spark.sparkContext.broadcast(seeds) if seeds else None
+                   and config.n_ranges >= SEED_MIN_RANGES
+                   and seg_depth >= 2 * config.block_size)) \
+        and n_q <= SEED_MAX_QUERIES
 
-    cand = _score_all_ranges(spark, index_dir, joined, k, mode, k1, b,
-                             avgdl, topk_fn, n_buckets, bseeds)
+    if wqt is not None:
+        # driver-analyzed batch: the weighted-terms table is SMALL — ship
+        # it to the range tasks in the kernel closure and ship each
+        # matched segment ONCE per range. (The join formulation emits one
+        # row per (query, segment), so a 500-query batch over shared hot
+        # terms shipped each hot segment's payload ~500× through the
+        # shuffle + Arrow — measured 4× wall on the 500k scaling bench.)
+        cand = _score_ranges_broadcast(
+            spark, index_dir, term_pred, config, wqt, k, mode, k1, b,
+            avgdl, topk_fn, do_seed)
+    else:
+        # distributed batch: query table is executor-resident; fall back
+        # to the join shape, sub-bucketed by query for task balance
+        # (join output is already one row per (query, segment) — extra
+        # buckets add no shuffle volume)
+        segs = _matched_segments(spark, index_dir, term_pred,
+                                 config.num_shards)
+        n_buckets = int(min(32, max(1, n_q // 32)))
+        joined = (segs.join(qdf, "term_id")
+                  .withColumn("qb",
+                              F.pmod(F.col("query_id"), F.lit(n_buckets))
+                              .cast("int"))
+                  .select("range_id", "qb", "query_id", "term_id", "w",
+                          "idf", "doc_lo", "payload"))
+        cand = _score_all_ranges(spark, index_dir, joined, k, mode, k1, b,
+                                 avgdl, topk_fn, n_buckets)
 
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id"))
@@ -212,24 +224,215 @@ def search_doc_partitioned(
     return attach_urls(spark, index_dir, topk)
 
 
-def _score_all_ranges(spark, index_dir, joined, k, mode, k1, b, avgdl,
-                      topk_fn, n_buckets, bseeds=None,
-                      pair_filter: DataFrame | None = None):
-    """(range_id, qb)-partitioned scoring of a joined (segments × query
-    terms) DataFrame → candidate rows. ``pair_filter``: optional tiny
-    (query_id, range_id) DataFrame — broadcast-joined in to score only
-    those slices (the θ-seed pre-pass)."""
-    if pair_filter is not None:
-        joined = joined.join(F.broadcast(pair_filter),
-                             ["query_id", "range_id"])
+def _wqt_groups(wqt: pd.DataFrame) -> list:
+    """[(query_id, [(term_id, w, idf), ...]), ...] — the closure-shipped
+    form of the weighted query terms (sorted, deterministic)."""
+    out = []
+    for qid, grp in wqt.sort_values(["query_id", "term_id"]).groupby(
+            "query_id", sort=True):
+        out.append((int(qid), list(zip(
+            grp["term_id"].astype(int), grp["w"].astype(float),
+            grp["idf"].astype(float)))))
+    return out
 
+
+def _score_range_broadcast(pdf: pd.DataFrame, groups, dl, k, mode, k1, b,
+                           avgdl, topk_fn, seeds=None,
+                           only_groups=None) -> pd.DataFrame:
+    """Score one slot-group of doc ranges for every query in ``groups``.
+    pdf holds each matched segment of the group's ranges exactly once
+    (term_id, doc_lo, payload); per-term segment chains are built with one
+    lexsort + boundary walk (ranges are disjoint doc intervals, so a
+    term's cross-range chain is still doc-ascending), then every query
+    assembles its term_rows by dict lookup. Emitting top-k per GROUP of
+    ranges is exact: any k docs that beat a doc within the group also
+    beat it globally. ``only_groups``: {query_id: _g} — score a query
+    only in its listed slot group (the θ-seed pre-pass)."""
+    tids = pdf["term_id"].to_numpy()
+    dlos = pdf["doc_lo"].to_numpy()
+    order = np.lexsort((dlos, tids))
+    tids = tids[order]
+    payloads = pdf["payload"].to_numpy()[order]
+    change = np.concatenate(
+        ([True], tids[1:] != tids[:-1]))
+    starts = np.flatnonzero(change)
+    ends = np.concatenate((starts[1:], [len(tids)]))
+    chains = {int(tids[s]): [bytes(p) for p in payloads[s:e]]
+              for s, e in zip(starts, ends)}
+    g = int(pdf["_g"].iloc[0]) if only_groups is not None else None
+    out_q, out_d, out_s = [], [], []
+    for qid, terms in groups:
+        if only_groups is not None and only_groups.get(qid) != g:
+            continue
+        term_rows = [(w, idf, chains[t]) for t, w, idf in terms
+                     if t in chains]
+        if not term_rows:
+            continue
+        theta0 = seeds.get(qid, -1.0) if seeds else -1.0
+        for doc, score in topk_fn(term_rows, k, mode, k1, b, avgdl, dl,
+                                  theta0=theta0):
+            out_q.append(qid)
+            out_d.append(doc)
+            out_s.append(score)
+    return pd.DataFrame({
+        "query_id": np.asarray(out_q, dtype=np.int64),
+        "doc_id": np.asarray(out_d, dtype=np.int64),
+        "score": np.asarray(out_s, dtype=np.float64),
+    })
+
+
+def _score_ranges_broadcast(spark, index_dir, term_pred, config, wqt,
+                            k, mode, k1, b, avgdl, topk_fn, do_seed):
+    """Range-grouped scoring with the query table in the kernel closure.
+    Shuffle volume = each matched segment once (keyed by range_id) —
+    independent of batch size; parallelism = n_ranges tasks (set ≫ cores
+    at build time). bm25 dl blobs cogroup in once per range, never
+    replicated."""
+    groups = _wqt_groups(wqt)
+    # group key: ranges are mapped ROUND-ROBIN onto ints that Spark
+    # hash-partitions to distinct shuffle partitions (build._partition_slots
+    # — grouping 128 range keys straight into 128 partitions loses ~2× to
+    # balls-in-bins lumping, measured on the 500k bench). Merging several
+    # ranges per task is exact — see _score_range_broadcast.
+    from word2doc_spark.index.build import _partition_slots
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    slots = _partition_slots(sp)
+    slot_arr = F.array(*[F.lit(x) for x in slots])
+
+    def keyed(df):
+        # explicit repartition(n, _g): (a) the slot mapping gives every
+        # range group its own partition, and (b) a user-numbered
+        # repartition is exempt from AQE partition COALESCING — the
+        # kernel's cost is CPU per (query × range), not shuffle bytes, so
+        # byte-based coalescing would collapse the scoring into a handful
+        # of tasks (measured 6× wall on the 500k bench: 41s → 244s)
+        return (df.withColumn("_g", F.element_at(
+                    slot_arr, F.pmod(F.col("range_id"), F.lit(sp)) + 1))
+                  .repartition(sp, "_g"))
+    segs = keyed(_matched_segments(spark, index_dir, term_pred,
+                                   config.num_shards).select(
+        "range_id", "term_id", "doc_lo", "payload"))
+
+    seeds = None
+    if do_seed:
+        seeds = _theta_seeds_broadcast(spark, index_dir, term_pred,
+                                       config, wqt, groups, segs, keyed,
+                                       slots, sp, k, mode,
+                                       k1, b, avgdl, topk_fn)
+
+    def scorer(seed_map=None):
+        if mode == "bm25":
+            dlseg = keyed(spark.read.parquet(
+                os.path.join(index_dir, "doclen_seg"))
+                .select("range_id", "doc_lo", "payload"))
+
+            def run(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+                if len(left) == 0:
+                    return pd.DataFrame(
+                        {"query_id": [], "doc_id": [], "score": []})
+                dl = decode_dl_blobs(right)
+                if dl is None:
+                    rid = left["range_id"].iloc[0]
+                    raise RuntimeError(
+                        "bm25 scoring: no doclen_seg blobs for a range "
+                        f"with matched segments (range_id={rid})")
+                return _score_range_broadcast(
+                    left, groups, dl, k, mode, k1, b, avgdl, topk_fn,
+                    seeds=seed_map)
+
+            return (segs.groupby("_g")
+                    .cogroup(dlseg.groupby("_g"))
+                    .applyInPandas(run, CAND_SCHEMA))
+
+        def run1(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _score_range_broadcast(
+                pdf, groups, None, k, mode, k1, b, avgdl, topk_fn,
+                seeds=seed_map)
+
+        return segs.groupBy("_g").applyInPandas(run1, CAND_SCHEMA)
+
+    return scorer(seed_map=seeds)
+
+
+def _theta_seeds_broadcast(spark, index_dir, term_pred, config, wqt,
+                           groups, segs, keyed, slots, sp,
+                           k, mode, k1, b, avgdl, topk_fn):
+    """{query_id: θ0} for the broadcast path: pick each query's densest
+    doc range from payload-free segment metadata (aggregated per term,
+    then combined driver-side with the small wqt), score each query only
+    in the slot GROUP holding that range (a superset of the range — the
+    k-th over any doc subset is still ≤ the global k-th, so the seed
+    stays valid), take the k-th scores, seed just below them."""
+    meta = _matched_segments(spark, index_dir, term_pred,
+                             config.num_shards, with_counts=True) \
+        .groupBy("term_id", "range_id") \
+        .agg(F.sum("n_postings").alias("np")).collect()
+    by_term: dict[int, list] = {}
+    for r in meta:
+        by_term.setdefault(int(r["term_id"]), []).append(
+            (int(r["range_id"]), int(r["np"])))
+    only_groups: dict[int, int] = {}
+    for qid, terms in groups:
+        acc: dict[int, int] = {}
+        for t, _w, _idf in terms:
+            for rng, np_ in by_term.get(t, ()):
+                acc[rng] = acc.get(rng, 0) + np_
+        if acc:
+            # densest range, smallest range_id on ties (deterministic)
+            best = min(acc, key=lambda r: (-acc[r], r))
+            only_groups[qid] = slots[best % sp]
+    if not only_groups:
+        return None
+
+    def run_seed(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _score_range_broadcast(
+            pdf, groups, None, k, mode, k1, b, avgdl, topk_fn,
+            only_groups=only_groups)
+
+    if mode == "bm25":
+        dlseg = keyed(spark.read.parquet(
+            os.path.join(index_dir, "doclen_seg"))
+            .select("range_id", "doc_lo", "payload"))
+
+        def run_seed2(left, right):
+            if len(left) == 0:
+                return pd.DataFrame(
+                    {"query_id": [], "doc_id": [], "score": []})
+            return _score_range_broadcast(
+                left, groups, decode_dl_blobs(right), k, mode, k1,
+                b, avgdl, topk_fn, only_groups=only_groups)
+
+        seed_cand = (segs.groupby("_g")
+                     .cogroup(dlseg.groupby("_g"))
+                     .applyInPandas(run_seed2, CAND_SCHEMA))
+    else:
+        seed_cand = segs.groupBy("_g").applyInPandas(
+            run_seed, CAND_SCHEMA)
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    kth = (seed_cand.withColumn("_r", F.row_number().over(wk))
+           .filter(F.col("_r") == k)
+           .select("query_id", "score").collect())
+    return {int(r["query_id"]): float(np.nextafter(r["score"], -np.inf))
+            for r in kth} or None
+
+def _score_all_ranges(spark, index_dir, joined, k, mode, k1, b, avgdl,
+                      topk_fn, n_buckets):
+    """(range_id, qb)-partitioned scoring of a joined (segments × query
+    terms) DataFrame → candidate rows (the distributed-batch shape; θ
+    seeding applies only to driver-analyzed batches — see
+    _score_ranges_broadcast)."""
+
+    joined = _pin_partitions(joined, spark, "range_id", "qb")
     if mode == "bm25":
         # per-range dl blobs replicated once per query bucket (dl is a tiny
         # fraction of segment bytes, so ×n_buckets stays negligible)
-        dlseg = (spark.read.parquet(os.path.join(index_dir, "doclen_seg"))
-                 .select("range_id", "doc_lo", "payload")
-                 .withColumn("qb", F.explode(F.array(
-                     *[F.lit(i).cast("int") for i in range(n_buckets)]))))
+        dlseg = _pin_partitions(
+            spark.read.parquet(os.path.join(index_dir, "doclen_seg"))
+            .select("range_id", "doc_lo", "payload")
+            .withColumn("qb", F.explode(F.array(
+                *[F.lit(i).cast("int") for i in range(n_buckets)]))),
+            spark, "range_id", "qb")
 
         def run(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             if len(left) == 0:
@@ -244,47 +447,22 @@ def _score_all_ranges(spark, index_dir, joined, k, mode, k1, b, avgdl,
                 raise RuntimeError(
                     "bm25 scoring: no doclen_seg blobs for a range with "
                     f"matched segments (range_id={rid})")
-            return _score_range(left, dl, k, mode, k1, b, avgdl, topk_fn,
-                                seeds=bseeds.value if bseeds else None)
+            return _score_range(left, dl, k, mode, k1, b, avgdl, topk_fn)
 
         return (joined.groupby("range_id", "qb")
                 .cogroup(dlseg.groupby("range_id", "qb"))
                 .applyInPandas(run, CAND_SCHEMA))
 
     def run1(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _score_range(pdf, None, k, mode, k1, b, avgdl, topk_fn,
-                            seeds=bseeds.value if bseeds else None)
+        return _score_range(pdf, None, k, mode, k1, b, avgdl, topk_fn)
 
     return (joined.groupBy("range_id", "qb")
             .applyInPandas(run1, CAND_SCHEMA))
 
 
-def _theta_seeds(spark, index_dir, jqdf, term_pred, config, joined,
-                 k, mode, k1, b, avgdl, topk_fn, n_buckets):
-    """{query_id: θ0} — score each query's densest range only, take the
-    k-th score, seed just BELOW it (np.nextafter) so equal-scoring docs in
-    other ranges survive and tie-breaks stay exact. The densest range is
-    picked from segment metadata (term_id, range_id, n_postings — payload
-    never read). Queries with < k docs in their densest range get no seed.
-    """
-    meta = _matched_segments(spark, index_dir, term_pred,
-                             config.num_shards, with_counts=True) \
-        .select("term_id", "range_id", "n_postings")
-    per = (meta.join(jqdf, "term_id")
-           .groupBy("query_id", "range_id")
-           .agg(F.sum("n_postings").alias("np")))
-    wb = Window.partitionBy("query_id").orderBy(
-        F.desc("np"), F.asc("range_id"))
-    pairs = (per.withColumn("_r", F.row_number().over(wb))
-             .filter(F.col("_r") == 1)
-             .select("query_id", "range_id"))
-    seed_cand = _score_all_ranges(spark, index_dir, joined, k, mode, k1,
-                                  b, avgdl, topk_fn, n_buckets,
-                                  pair_filter=pairs)
-    wk = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("doc_id"))
-    kth = (seed_cand.withColumn("_r", F.row_number().over(wk))
-           .filter(F.col("_r") == k)
-           .select("query_id", "score").collect())
-    return {int(r["query_id"]): float(np.nextafter(r["score"], -np.inf))
-            for r in kth} or None
+def _pin_partitions(df: DataFrame, spark, *cols) -> DataFrame:
+    """Explicit numbered repartition on the grouping keys: exempts the
+    downstream applyInPandas exchange from AQE byte-based coalescing
+    (kernel cost is CPU-per-group, not bytes)."""
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(sp, *cols)

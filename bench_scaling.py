@@ -189,6 +189,11 @@ def main():
                   f" {eff / hw_eff:.2f} |")
     md += [
         "",
+        "The ceiling probe is itself steal-noisy (a point sample at one",
+        "moment); a phase whose normalized value exceeds 1.0 simply ran",
+        "during a quieter window than the probe — read raw efficiencies",
+        "as the ground truth and the normalized column as context.",
+        "",
         "Notes: the exact-join path is the goldens/DuckDB correctness twin",
         "(it shuffles every matched posting by design) and is excluded from",
         "scale claims — the serving paths are fast-DAAT and WAND, which",

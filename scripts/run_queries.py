@@ -4,7 +4,8 @@
     spark-submit --py-files word2doc_spark.zip scripts/run_queries.py \\
         --index-dir /path/to/index --queries /path/to/queries.parquet \\
         --out /path/to/results [--k 10] [--path fast|wand|exact] \\
-        [--score-mode drqa|bm25] [--strict]
+        [--score-mode drqa|bm25] [--strict] \\
+        [--analysis auto|driver|distributed] [--seed-theta auto|on|off]
 
 queries parquet schema: (query_id long, query string). Results are written
 as parquet (query_id, rank, doc_id, url, score).
@@ -25,6 +26,18 @@ def main(argv=None):
     p.add_argument("--strict", action="store_true",
                    help="raise on queries with zero valid terms (reference "
                         "B9 semantics)")
+    p.add_argument("--analysis", default="auto",
+                   choices=["auto", "driver", "distributed"],
+                   help="query-batch analysis mode: 'driver' collects the "
+                        "batch (small batches), 'distributed' keeps "
+                        "tokenization + term weighting executor-side "
+                        "(multi-million-query batches), 'auto' switches "
+                        "on batch size")
+    p.add_argument("--seed-theta", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="WAND pruning-threshold seeding across doc ranges "
+                        "(wand path only; 'auto' engages on many-range, "
+                        "deep-segment indexes)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -43,8 +56,12 @@ def main(argv=None):
     queries = spark.read.parquet(args.queries)
     fn = {"fast": search_fast, "wand": search_wand,
           "exact": search_exact}[args.path]
+    kw = {"analysis": args.analysis}
+    if args.path == "wand":
+        kw["seed_theta"] = {"auto": "auto", "on": True,
+                            "off": False}[args.seed_theta]
     out = fn(spark, args.index_dir, queries, k=args.k,
-             score_mode=args.score_mode, strict=args.strict)
+             score_mode=args.score_mode, strict=args.strict, **kw)
     out.write.mode("overwrite").parquet(args.out)
     print(f"wrote {spark.read.parquet(args.out).count()} result rows to {args.out}")
 

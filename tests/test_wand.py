@@ -118,11 +118,12 @@ def test_wand_topk_theta_seed_exact_and_prunes(mode):
     from word2doc_spark.query import wand as W
 
     rng = np.random.default_rng(99)
-    n_docs, k = 20000, 5
+    n_docs, k = 120000, 5
     dl = rng.integers(10, 300, size=n_docs).astype(np.uint32)
     avgdl = float(dl.mean())
     # the classic WAND-friendly shape: one rare high-weight term whose
-    # docs dominate the top-k, plus long low-weight tail lists that an
+    # docs dominate the top-k, plus long low-weight tail lists (ABOVE the
+    # eager-merge threshold, so the lazy block path runs) that an
     # effective θ lets the cursor leap over block-wise
     term_rows = []
     rare = np.sort(rng.choice(n_docs, size=40,
@@ -130,9 +131,9 @@ def test_wand_topk_theta_seed_exact_and_prunes(mode):
     term_rows.append((5.0, 5.0, encode_postings(
         rare, rng.integers(5, 20, size=40).astype(np.uint64), 32)))
     for _ in range(3):
-        docs = np.sort(rng.choice(n_docs, size=8000,
+        docs = np.sort(rng.choice(n_docs, size=30000,
                                   replace=False)).astype(np.uint64)
-        tfs = rng.integers(1, 3, size=8000).astype(np.uint64)
+        tfs = rng.integers(1, 3, size=30000).astype(np.uint64)
         term_rows.append((0.2, 0.4, encode_postings(docs, tfs, 32)))
     dlv = dl if mode == "bm25" else None
     W.reset_stats()

@@ -278,15 +278,21 @@ def _sample_url_bounds(pages: DataFrame, n_buckets: int,
     with no Python in it. Boundaries are approximate — the empty-text
     filter later removes some urls — which only skews bucket sizes
     slightly, never correctness (ids come from per-bucket counts)."""
-    n = pages.count()
-    if n == 0:
+    # small corpora: ONE job collects every url (exact quantiles); the
+    # count+sample pair only runs when the input exceeds max_sample rows
+    head = pages.select("url").limit(max_sample + 1).collect()
+    if not head:
         return []
-    frac = min(1.0, max_sample / max(n, 1))
-    urls = sorted(r["url"] for r in
-                  pages.select("url").sample(False, frac, seed=7).collect())
-    if not urls:
+    if len(head) <= max_sample:
+        urls = sorted(r["url"] for r in head)
+    else:
+        n = pages.count()
+        frac = min(1.0, max_sample / max(n, 1))
         urls = sorted(r["url"] for r in
-                      pages.select("url").limit(1024).collect())
+                      pages.select("url").sample(False, frac, seed=7)
+                      .collect())
+        if not urls:
+            urls = sorted(r["url"] for r in head[:1024])
     bounds = {urls[min(len(urls) - 1, (i * len(urls)) // n_buckets)]
               for i in range(1, n_buckets)}
     return sorted(bounds)

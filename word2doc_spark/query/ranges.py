@@ -1,26 +1,46 @@
 """Doc-partitioned batch query execution (the scale path).
 
 SURVEY.md §4.1 "per-shard bounded heap + final merge": matched posting
-segments are scored WHERE THEIR DOC RANGE LIVES — one task per doc-range
-bucket holds every matched segment for its range (all query terms), so
-each document's full score is computed locally; the task emits only its
-per-query top-k candidates, and a final window over the tiny
-(n_ranges × Q × k) candidate set yields the exact global top-k.
+segments are scored WHERE THEIR DOC RANGES LIVE — one task per group of
+doc ranges holds every matched segment for its ranges (all query terms),
+so each document's full score is computed locally; the task emits only
+its per-query top-k candidates, and a final window over the tiny
+(n_groups × Q × k) candidate set yields the exact global top-k.
+
+Two shapes, picked by how the query batch was analyzed:
+
+* driver-analyzed (small) batches — BROADCAST-QUERY scoring: the
+  weighted-terms table rides in the kernel closure and each matched
+  segment is shuffled ONCE, keyed by a range-slot group. (A join of
+  queries × segments emits one row per (query, segment), so a Q-query
+  batch over shared hot terms would ship each hot segment's payload up
+  to Q× through shuffle + Arrow — measured 4× wall at Q=500.)
+* distributed (huge) batches — the join shape, sub-bucketed by query id
+  for task balance; shuffle volume is the join output, which is the
+  price of a query table too large for a closure.
+
+Two partitioning rules both shapes obey (measured, not theoretical):
+group keys are mapped onto hash-slot ints so every group gets its own
+shuffle partition (n keys hashed into n partitions loses 2-3× to
+balls-in-bins collisions), and the kernel exchanges use explicit
+numbered repartition so AQE's byte-based partition coalescing cannot
+collapse CPU-bound scoring into a handful of tasks (measured 6×).
 
 Why this scales where per-query grouping does not: a groupBy(query_id)
 plan ships every matched posting of a head term into ONE task; here the
-shuffle is keyed by range_id, so no task ever holds more than one range's
-slice of the index regardless of term df, and parallelism is n_ranges
-(set ≫ cores at build time), not n_queries.
+shuffle is keyed by doc-range groups, so no task ever holds more than
+its ranges' slice of the index regardless of term df, and parallelism is
+the range-group count (set ≫ cores at build time), not n_queries.
 
 bm25 needs per-doc dl at scoring time: it is cogrouped in as the per-range
 compressed dl blobs written at build (index/build.py doclen_seg) — one
 small cell per (range, chunk), never a driver-side N-row materialization.
 
-Exactness: per-range scores are complete (a doc's postings for every term
+Exactness: per-group scores are complete (a doc's postings for every term
 live in its range), and the global top-k is contained in the union of
-per-range top-ks, so the final merge is exact — differential tests assert
-identity with search_exact on every fixture.
+per-group top-ks (any k docs that beat a candidate within its group also
+beat it globally), so the final merge is exact — differential tests
+assert identity with search_exact on every fixture.
 """
 
 from __future__ import annotations

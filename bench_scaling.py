@@ -224,11 +224,14 @@ def main():
             md.append(f"| {name} | {a:.1f} | {b:.1f} | {eff:.2f} |")
         md += [
             "",
-            "The python-heavy analysis and the segment-encode job scale at",
-            "or near the hardware ceiling; the residual build gap is the",
-            "extract/repartition/cache materialization job (small absolute",
-            "wall, fixed scheduling + range-sample costs) — the documented",
-            "next lever.",
+            "The python-heavy analysis and the segment-encode job carry the",
+            "wall and scale in line with the measured ceiling; the",
+            "non-scaling residual is extract_count — the one job that",
+            "materializes the url-bucketed corpus cache, whose cost is",
+            "memory-bus bandwidth (identical wall at 8 and 32 threads on",
+            "this single-bus VM). A real 4N-executor cluster adds 4× memory",
+            "buses; local mode cannot show that. doclen/doclen_seg are",
+            "~1-3 s fixed-overhead jobs, not scaling signals.",
             "",
         ]
     md += [

@@ -224,14 +224,18 @@ def main():
             md.append(f"| {name} | {a:.1f} | {b:.1f} | {eff:.2f} |")
         md += [
             "",
-            "The python-heavy analysis and the segment-encode job carry the",
-            "wall and scale in line with the measured ceiling; the",
-            "non-scaling residual is extract_count — the one job that",
-            "materializes the url-bucketed corpus cache, whose cost is",
-            "memory-bus bandwidth (identical wall at 8 and 32 threads on",
-            "this single-bus VM). A real 4N-executor cluster adds 4× memory",
-            "buses; local mode cannot show that. doclen/doclen_seg are",
-            "~1-3 s fixed-overhead jobs, not scaling signals.",
+            "Round 3 made the build ~2× faster in ABSOLUTE terms (the",
+            "vectorized batch segment encoder removed millions of per-run",
+            "python calls), which deliberately LOWERS the build efficiency",
+            "ratio: the python CPU work was the part that scaled with",
+            "cores, and what remains (cache materialization, the posting",
+            "shuffle, parquet IO) is memory-bus/disk-bound — near-identical",
+            "wall at 8 and 32 threads on this single-bus VM. The CPU-bound",
+            "sub-phase that remains (analysis) scales at ~0.6 raw, in line",
+            "with the measured process ceiling. A real 4N-executor cluster",
+            "multiplies buses and disks 4× along with cores; a single box",
+            "cannot show that, so we report throughput alongside the ratio",
+            "and decline to keep slower code for a prettier ratio.",
             "",
         ]
     md += [

@@ -95,3 +95,34 @@ def test_compression_ratio_dense():
     tfs = np.ones(100_000, dtype=np.uint64)
     payload = encode_postings(docs, tfs)
     assert len(payload) < 100_000 * 2.5
+
+
+def test_encode_postings_batch_byte_identity():
+    """encode_postings_batch produces BYTE-IDENTICAL payloads to the
+    per-segment encoder over randomized segment shapes and block sizes."""
+    import numpy as np
+    from word2doc_spark.index.postings import (
+        decode_postings, encode_postings, encode_postings_batch)
+
+    rng = np.random.default_rng(11)
+    for _ in range(30):
+        segs = []
+        for _ in range(int(rng.integers(1, 50))):
+            ln = int(rng.integers(1, 600))
+            docs = np.sort(rng.choice(10 ** 12, size=ln,
+                                      replace=False)).astype(np.uint64)
+            tfs = rng.integers(1, 70000, size=ln).astype(np.uint64)
+            segs.append((docs, tfs))
+        doc_ids = np.concatenate([d for d, _ in segs])
+        tfs = np.concatenate([t for _, t in segs])
+        starts = np.concatenate(
+            ([0], np.cumsum([d.size for d, _ in segs])[:-1]))
+        bs = int(rng.choice([4, 32, 128, 512]))
+        got = encode_postings_batch(doc_ids, tfs, starts, bs)
+        for (d, t), g in zip(segs, got):
+            assert g == encode_postings(d, t, bs)
+            dd, tt = decode_postings(g)
+            assert np.array_equal(dd, d) and np.array_equal(tt, t)
+    assert encode_postings_batch(np.empty(0, np.uint64),
+                                 np.empty(0, np.uint64),
+                                 np.empty(0, np.int64)) == []

@@ -51,7 +51,9 @@ import pyspark.sql.functions as F
 from word2doc_spark.config import IndexConfig
 from word2doc_spark.index.analyze import extracted_docs
 from word2doc_spark.index.manifest import Manifest
-from word2doc_spark.index.postings import encode_postings
+from word2doc_spark.index.postings import (
+    encode_postings, encode_postings_batch,
+)
 
 SEG_SCHEMA = ("term_id long, range_id int, seg_id int, n_postings long, "
               "doc_lo long, doc_hi long, payload binary")
@@ -91,14 +93,6 @@ def _encode_segment_runs(range_width: int, max_seg: int, block_size: int):
         open_key: tuple[int, int] | None = None  # (term_id, range_id)
         open_seg = 0  # next seg_id for the open run
 
-        def encode_chunks(term: int, rid: int, docs: np.ndarray,
-                          tfs: np.ndarray, seg_base: int, rows: list):
-            for j, s in enumerate(range(0, docs.size, max_seg)):
-                e = min(s + max_seg, docs.size)
-                rows.append((term, rid, seg_base + j, e - s,
-                             int(docs[s]), int(docs[e - 1]),
-                             encode_postings(docs[s:e], tfs[s:e], block_size)))
-
         def flush(pdf: pd.DataFrame, flush_all: bool):
             nonlocal carry, open_key, open_seg
             if carry is not None:
@@ -116,31 +110,54 @@ def _encode_segment_runs(range_width: int, max_seg: int, block_size: int):
             starts = np.flatnonzero(change)
             ends = np.concatenate((starts[1:], [len(pdf)]))
             tfs = pdf["tf"].to_numpy()
-            rows: list = []
-            n_runs = len(starts)
-            for i, (s, e) in enumerate(zip(starts, ends)):
-                key = (int(terms[s]), int(rids[s]))
-                seg_base = open_seg if key == open_key else 0
-                if i == n_runs - 1 and not flush_all:
-                    # trailing run may continue in the next batch: flush only
-                    # full segments, carry the remainder
-                    n_full = ((e - s) // max_seg) * max_seg
-                    if n_full:
-                        encode_chunks(key[0], key[1], docs[s:s + n_full],
-                                      tfs[s:s + n_full], seg_base, rows)
-                    open_key = key
-                    open_seg = seg_base + n_full // max_seg
-                    carry = pdf.iloc[s + n_full:]
+            # the first run may CONTINUE the open run from prior batches
+            # (its carried rows head this pdf) — its segments keep
+            # numbering from open_seg
+            first_base = open_seg if (int(terms[0]), int(rids[0])) == \
+                open_key else 0
+            if not flush_all:
+                # trailing run may continue in the next batch: flush only
+                # its full max_seg segments, carry the remainder
+                ls, le = int(starts[-1]), int(ends[-1])
+                n_full = ((le - ls) // max_seg) * max_seg
+                last_base = first_base if len(starts) == 1 else 0
+                open_key = (int(terms[ls]), int(rids[ls]))
+                open_seg = last_base + n_full // max_seg
+                carry = pdf.iloc[ls + n_full:]
+                cut = ls + n_full
+                if cut == ls:
+                    starts, ends = starts[:-1], ends[:-1]
                 else:
-                    encode_chunks(key[0], key[1], docs[s:e], tfs[s:e],
-                                  seg_base, rows)
-            if flush_all:
+                    ends = ends.copy()
+                    ends[-1] = cut
+                if len(starts) == 0:
+                    return None
+                docs, tfs, terms = docs[:cut], tfs[:cut], terms[:cut]
+                rids = rids[:cut]
+            else:
                 open_key, open_seg = None, 0
-            if not rows:
-                return None
-            return pd.DataFrame(rows, columns=[
-                "term_id", "range_id", "seg_id", "n_postings",
-                "doc_lo", "doc_hi", "payload"])
+            # split runs into ≤max_seg segments, all vectorized
+            run_lens = ends - starts
+            nseg_run = (run_lens + max_seg - 1) // max_seg
+            seg_of_run = np.repeat(np.arange(len(starts)), nseg_run)
+            seg_idx = np.arange(len(seg_of_run)) - np.repeat(
+                np.concatenate(([0], np.cumsum(nseg_run)[:-1])), nseg_run)
+            seg_starts = starts[seg_of_run] + seg_idx * max_seg
+            seg_ends = np.minimum(seg_starts + max_seg, ends[seg_of_run])
+            seg_ids = seg_idx.copy()
+            if first_base:
+                seg_ids[seg_of_run == 0] += first_base
+            payloads = encode_postings_batch(docs, tfs, seg_starts,
+                                             block_size)
+            return pd.DataFrame({
+                "term_id": terms[seg_starts],
+                "range_id": rids[seg_starts].astype(np.int32),
+                "seg_id": seg_ids.astype(np.int32),
+                "n_postings": (seg_ends - seg_starts).astype(np.int64),
+                "doc_lo": docs[seg_starts].astype(np.int64),
+                "doc_hi": docs[seg_ends - 1].astype(np.int64),
+                "payload": payloads,
+            })
 
         for pdf in it:
             out = flush(pdf, flush_all=False)

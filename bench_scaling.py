@@ -145,12 +145,16 @@ def main():
         ("batch query WAND (drqa)", "query_wand_s", n_q, "q/s"),
         ("batch query fast-DAAT (drqa)", "query_fast_s",
          lo.get("n_queries_fast", n_q * 20), "q/s"),
+        ("batch query fast-DAAT (bm25)", "query_bm25_s",
+         lo.get("n_queries_bm25", n_q * 4), "q/s"),
         ("batch query exact join (drqa)", "query_exact_s", n_q, "q/s"),
     ]
     print("measuring hardware CPU-scaling ceiling ...", file=sys.stderr)
     hw_eff = _hw_probe()
     rows = []
     for label, key, units, unit in phases:
+        if key not in lo or key not in hi:
+            continue  # phase absent from reused result files
         thr_lo = units / lo[key]
         thr_hi = units / hi[key]
         eff = thr_hi / (4.0 * thr_lo)
@@ -238,14 +242,17 @@ def main():
             "and decline to keep slower code for a prettier ratio.",
             "",
         ]
+    wall_keys = [("index build", "build_s"),
+                 ("query WAND", "query_wand_s"),
+                 ("query exact", "query_exact_s"),
+                 ("query fast-DAAT", "query_fast_s"),
+                 ("query fast bm25", "query_bm25_s")]
     md += [
         "## Wall-times (sec)",
         "",
         f"| phase | local[{n}] | local[{4*n}] |", "|---|---|---|",
-        f"| index build | {lo['build_s']} | {hi['build_s']} |",
-        f"| query WAND | {lo['query_wand_s']} | {hi['query_wand_s']} |",
-        f"| query exact | {lo['query_exact_s']} | {hi['query_exact_s']} |",
-        f"| query fast-DAAT | {lo['query_fast_s']} | {hi['query_fast_s']} |",
+    ] + [f"| {lbl} | {lo[k]} | {hi[k]} |" for lbl, k in wall_keys
+         if k in lo and k in hi] + [
         "",
         "## Raw JSON", "",
         f"```json\n{json.dumps(lo)}\n{json.dumps(hi)}\n```", "",

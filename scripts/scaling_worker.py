@@ -51,6 +51,10 @@ def main():
     p.add_argument("--shards", type=int, default=4)
     p.add_argument("--n-ranges", type=int, default=128)
     p.add_argument("--phase", default="all", choices=["all", "build", "query"])
+    p.add_argument("--only", default=None,
+                   help="comma subset of query sub-phases to run "
+                        "(wand,fast,bm25,exact) — lets one orchestration "
+                        "call fit a wall-clock budget")
     p.add_argument("--index-dir", default=None,
                    help="persistent index location (build writes, query "
                         "reads); default = temp dir (phase=all only)")
@@ -115,28 +119,48 @@ def main():
             search_wand(spark, idx, warm, k=5, score_mode="drqa").count()
             search_fast(spark, idx, warm, k=5, score_mode="drqa").count()
             search_exact(spark, idx, warm, k=5, score_mode="drqa").count()
-            # WAND phase: topical (dense-posting) queries
+            only = set((args.only or "wand,fast,bm25,exact").split(","))
             qdf = spark.createDataFrame(scaling_queries(args.n_queries),
                                         "query_id long, query string")
             out["n_queries"] = args.n_queries
-            t0 = time.time()
-            search_wand(spark, idx, qdf, k=10, score_mode="drqa").count()
-            out["query_wand_s"] = round(time.time() - t0, 2)
+            if "wand" in only:
+                # WAND phase: topical (dense-posting) queries
+                t0 = time.time()
+                search_wand(spark, idx, qdf, k=10,
+                            score_mode="drqa").count()
+                out["query_wand_s"] = round(time.time() - t0, 2)
 
-            # fast-DAAT phase: large mixed batch
-            n_fast = args.n_queries * 20
-            fq = spark.createDataFrame(scaling_queries(n_fast),
-                                       "query_id long, query string")
-            out["n_queries_fast"] = n_fast
-            t0 = time.time()
-            search_fast(spark, idx, fq, k=10, score_mode="drqa").count()
-            out["query_fast_s"] = round(time.time() - t0, 2)
+            if "fast" in only:
+                # fast-DAAT phase: large mixed batch
+                n_fast = args.n_queries * 20
+                fq = spark.createDataFrame(scaling_queries(n_fast),
+                                           "query_id long, query string")
+                out["n_queries_fast"] = n_fast
+                t0 = time.time()
+                search_fast(spark, idx, fq, k=10,
+                            score_mode="drqa").count()
+                out["query_fast_s"] = round(time.time() - t0, 2)
 
-            # exact join path: correctness twin; timed on the small batch
-            # only (it shuffles every matched posting — not a scaling phase)
-            t0 = time.time()
-            search_exact(spark, idx, qdf, k=10, score_mode="drqa").count()
-            out["query_exact_s"] = round(time.time() - t0, 2)
+            if "bm25" in only:
+                # bm25 phase (the north metric's scorer): fast path + the
+                # per-range dl-blob cogroup, mid-sized batch
+                n_bm25 = args.n_queries * 4
+                bq = spark.createDataFrame(scaling_queries(n_bm25),
+                                           "query_id long, query string")
+                out["n_queries_bm25"] = n_bm25
+                t0 = time.time()
+                search_fast(spark, idx, bq, k=10,
+                            score_mode="bm25").count()
+                out["query_bm25_s"] = round(time.time() - t0, 2)
+
+            if "exact" in only:
+                # exact join path: correctness twin; timed on the small
+                # batch only (it shuffles every matched posting — not a
+                # scaling phase)
+                t0 = time.time()
+                search_exact(spark, idx, qdf, k=10,
+                             score_mode="drqa").count()
+                out["query_exact_s"] = round(time.time() - t0, 2)
     finally:
         if work:
             shutil.rmtree(work, ignore_errors=True)

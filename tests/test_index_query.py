@@ -171,3 +171,14 @@ def test_distributed_strict_raises(spark, built):
     with pytest.raises(RuntimeError, match="No valid word"):
         search_fast(spark, built, qdf, k=5, strict=True,
                     analysis="distributed").collect()
+
+
+def test_auto_n_ranges():
+    from word2doc_spark.config import IndexConfig
+    from word2doc_spark.index.build import resolve_n_ranges
+
+    assert resolve_n_ranges(IndexConfig(n_ranges=64), 10 ** 9) == 64
+    auto = IndexConfig(n_ranges=0)
+    assert resolve_n_ranges(auto, 500_000) == 32
+    assert resolve_n_ranges(auto, 10 ** 12) == 31250
+    assert resolve_n_ranges(auto, 0) == 32

@@ -32,6 +32,8 @@ class IndexConfig:
     # is further split at max_seg_postings so no parquet cell outgrows a few
     # hundred KB regardless of df. At 10^12-doc scale n_ranges would be set
     # to O(10^4-10^5); the local default keeps ranges >= cores.
+    # 0 = auto-size at build time: max(32, ceil(n_docs / 32M docs/range)) —
+    # 10^12 docs resolves to ~31k ranges, tiny corpora to 32.
     n_ranges: int = 32
     max_seg_postings: int = 131072
     # doclen blob chunking (docs per encoded dl chunk row)

@@ -71,6 +71,17 @@ def range_width_for(n_docs: int, n_ranges: int) -> int:
     return max(1, -(-max(n_docs, 1) // max(n_ranges, 1)))
 
 
+# auto n_ranges sizing: keep per-range slices task-sized as the corpus
+# grows (n_ranges=0 in IndexConfig picks this)
+_AUTO_DOCS_PER_RANGE = 32_000_000
+
+
+def resolve_n_ranges(config: IndexConfig, n_docs: int) -> int:
+    if config.n_ranges > 0:
+        return config.n_ranges
+    return max(32, -(-max(n_docs, 1) // _AUTO_DOCS_PER_RANGE))
+
+
 # ---------------------------------------------------------------------------
 # segment encoding over partition-sorted (term_id, doc_id) runs
 # ---------------------------------------------------------------------------
@@ -456,7 +467,8 @@ def build_index(
             offsets[pkey] = acc
             acc += counts[pkey]
         n_docs = acc
-        range_width = range_width_for(n_docs, config.n_ranges)
+        range_width = range_width_for(
+            n_docs, resolve_n_ranges(config, n_docs))
 
         # hash partitioning may co-locate several url buckets in one task
         # (sorted (_pkey, url) within it) — ids are assigned per bucket run
@@ -566,7 +578,8 @@ def build_index(
     if n_docs is None:
         n_docs = spark.read.parquet(docs_path).count()
     range_width = manifest.read_marker("stage").get(
-        "range_width", range_width_for(n_docs, config.n_ranges))
+        "range_width",
+        range_width_for(n_docs, resolve_n_ranges(config, n_docs)))
 
     # -- stage 3: segment encode (one job by default; grouped for finer
     #    resume). Dynamic partition overwrite makes a rerun of a group

@@ -204,9 +204,12 @@ def search_doc_partitioned(
     # measured +20% on a 500k corpus whose segments average 5 postings)
     seg_depth = (float(stats.get("n_postings", 0))
                  / max(float(stats.get("n_segments", 0) or 0), 1.0))
+    # actual range count from the published layout (config.n_ranges may be
+    # 0 = auto-sized at build)
+    n_ranges = -(-n_docs // max(int(stats.get("range_width", n_docs)), 1))
     do_seed = (seed_theta is True
                or (seed_theta == "auto"
-                   and config.n_ranges >= SEED_MIN_RANGES
+                   and n_ranges >= SEED_MIN_RANGES
                    and seg_depth >= 2 * config.block_size)) \
         and n_q <= SEED_MAX_QUERIES
 

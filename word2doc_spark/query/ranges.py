@@ -172,9 +172,12 @@ def search_doc_partitioned(
     analysis: 'driver' | 'distributed' | 'auto' — see search_exact.
 
     seed_theta (WAND): True, False, or 'auto' (seed only when the index
-    has ≥ SEED_MIN_RANGES doc ranges — where per-range θ restarts
-    actually cost pruning power). Seeding runs a cheap pre-pass that
-    scores, per query,
+    has ≥ SEED_MIN_RANGES deep-segment doc ranges — where per-range θ
+    restarts actually cost pruning power). Seeding needs the
+    driver-resident weighted-terms table, so it applies to
+    driver-analyzed batches only; a distributed batch ignores it (the
+    per-query seed collect would defeat the point of distributed
+    analysis). The pre-pass scores, per query,
     only its densest doc range (chosen from segment METADATA — a
     payload-free column-pruned scan) and seeds every range task's pruning
     threshold with just-below that range's k-th score. A range's local

@@ -212,6 +212,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lang_id"] = lambda s, d: TS.lang_id(_docs(s, d))
     q["quality_score"] = lambda s, d: TS.quality_score(_docs(s, d))
     q["fingerprint"] = lambda s, d: TS.fingerprint(_docs(s, d))
+    q["bpe_ish_token_counts"] = lambda s, d: TS.bpe_ish_token_counts(
+        _docs(s, d))
 
     # --- training-data ops: dedup ---
     q["dedup_exact"] = lambda s, d: (
@@ -598,6 +600,19 @@ SELECT doc_id, n AS n_tokens, round(swr, 6) AS stopword_ratio,
          + CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 0.2 ELSE 0.0 END
        END, 6) AS quality
 FROM m"""
+
+    o["bpe_ish_token_counts"] = r"""
+WITH c AS (
+  SELECT doc_id,
+         coalesce(len(regexp_extract_all(text,
+                  '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')), 0) AS n_pieces,
+         coalesce(len(list_filter(string_split_regex(text, '\s+'),
+                  w -> w <> '')), 0) AS n_words
+  FROM documents
+)
+SELECT doc_id, n_pieces, n_words,
+       round(n_pieces::DOUBLE / greatest(n_words, 1), 6) AS pieces_per_word
+FROM c"""
 
     o["fingerprint"] = f"""
 SELECT doc_id, md5(array_to_string({_TOK}, ' ')) AS fp FROM documents"""

@@ -290,3 +290,16 @@ def test_ivf_pandas_codebook_path_matches_literal(vectors, monkeypatch):
                    round(r["cosine"], 6)) for r in lit) == \
         sorted((r["query_vec_id"], r["rank"], r["neighbor_id"],
                 round(r["cosine"], 6)) for r in pnd)
+
+
+def test_bpe_ish_token_counts(spark):
+    docs = spark.createDataFrame(
+        [(0, "Hello, world! GPT-4 costs $0.03/1k"), (1, ""), (2, None)],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            TS.bpe_ish_token_counts(docs).collect()}
+    # Hello , world ! GPT - 4 costs $ 0 . 03 / 1 k  -> 15 pieces, 5 words
+    assert rows[0]["n_pieces"] == 15 and rows[0]["n_words"] == 5
+    assert rows[0]["pieces_per_word"] == 3.0
+    assert rows[1]["n_pieces"] == 0 and rows[1]["n_words"] == 0
+    assert rows[2]["n_pieces"] == 0 and rows[2]["n_words"] == 0

@@ -117,3 +117,31 @@ def sanitize_titles(df: DataFrame, col: str = "title",
     cleaned = F.regexp_replace(F.lower(F.col(col)), r"[^\p{L}\p{N} ]", "")
     return (df.withColumn(out, cleaned)
               .filter(F.col(out) != ""))
+
+
+# GPT-style pre-tokenizer approximation (letters runs | digit runs |
+# single punctuation) — ASCII classes so Java and RE2 regex agree and
+# DuckDB can run an exact twin
+BPE_ISH_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def bpe_ish_token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_pieces, n_words, pieces_per_word) — training-cost
+    estimation counts: whitespace-delimited words plus a BPE-ish
+    pre-token count (the per-doc token budget proxy used when the real
+    tokenizer is too expensive to run corpus-wide). Pure built-ins,
+    whole-stage codegen."""
+    # pattern passed as a literal Column — routing it through F.expr would
+    # subject the backslash in \s to SQL string-escape processing
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_RE), F.lit(0))
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    n_pieces = F.coalesce(F.size(pieces), F.lit(0)).cast("long")
+    n_words = F.coalesce(F.size(words), F.lit(0)).cast("long")
+    return docs.select(
+        "doc_id",
+        n_pieces.alias("n_pieces"),
+        n_words.alias("n_words"),
+        F.round(n_pieces.cast("double")
+                / F.greatest(n_words, F.lit(1)).cast("double"), 6)
+         .alias("pieces_per_word"),
+    )

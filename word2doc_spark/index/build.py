@@ -1,23 +1,44 @@
-"""Distributed, resumable inverted-index build (v3: range-segmented lists).
+"""Distributed, resumable inverted-index build (v4: blob-staged,
+range-segmented lists).
 
 Pipeline (SURVEY.md §7.0), all DataFrame-declarative except the two
 Arrow-UDF stages (analysis, posting encode):
 
     pages ──extract──▶ (url, text)
           ──assign_doc_ids──▶ (doc_id, url, text)          [docs stage]
-          ──analyze mapInPandas──▶ (doc_id, term_id, tf)
-          ──write partitioned by shard_id=pmod(term_id,S)──▶ stage/terms
-          ──groupBy(doc_id).sum(tf)──▶ doclen + doclen_seg (per-range blobs)
+          ──analyze mapInPandas──▶ numpy-PACKED posting blobs
+              (shard_id, route, blob)  blob = raw int64 (term, doc, tf)
+              triples grouped by (shard, route); per-doc dl pairs ride in
+              their own blobs under the shard_id = -1 hive partition
+          ──write partitioned by shard_id──▶ stage/terms
+          ──decode dl blobs──▶ doclen + doclen_seg (per-range blobs)
     encode (one Spark job by default; optionally grouped for finer resume):
-          read stage/terms
-          repartition(term_id, range_id)  range_id = doc_id // range_width
-          sort (term_id, doc_id) → run-encode SEGMENTS per (term, range),
-          each ≤ max_seg_postings postings
+          read stage/terms blobs
+          repartition by slot(shard, route)  [all blobs of a (term, range)
+              share a (shard, route) key, so every run lands whole]
+          frombuffer + lexsort(term_id, doc_id) → run-encode SEGMENTS per
+          (term, range), each ≤ max_seg_postings postings
           write shards/shard_id=K (term_id, range_id, seg_id, n_postings,
                                    doc_lo, doc_hi, payload)
           derive terms/shard_id=K (term_id, df) from segment metadata
           manifest/shard_K.json   (lineage fingerprint + metrics)
     publish: manifest/config.json (N, avgdl, range_width, totals)
+
+Why blobs (v4): shipping 10^8 exploded (doc, term, tf) rows across the
+JVM/Python Arrow boundary — python→JVM out of analysis, JVM→python into
+encode — cost ~4× more CPU than every other part of those two stages
+COMBINED (measured on the 500k scaling bench: a no-op mapInPandas over
+the sorted triples ran 15s where shuffle+sort alone ran 3s). Packing the
+triples into opaque numpy buffers python-side makes both crossings and
+the shuffle byte-copies of ~1000× fewer rows; the JVM never touches
+individual postings. The encode task decodes with zero-copy
+``np.frombuffer``, lexsorts (term_id, doc_id) — the same unique total
+order the JVM sort produced, so segment bytes are IDENTICAL to v3 — and
+run-encodes. Memory per encode task = total staged bytes / shuffle
+partitions (one partition materialized in numpy; the v3 JVM sort
+materialized the same partition with spill); size
+``spark.sql.shuffle.partitions`` so partitions stay task-sized, exactly
+the sizing rule the rest of the engine already assumes.
 
 Skew: the doc-range split IS the explicit head-term salting (north rule):
 a term with df = N never concentrates in one task or one parquet cell —
@@ -40,6 +61,7 @@ import hashlib
 import json
 import os
 import shutil
+import threading
 import time
 from typing import Iterator
 
@@ -59,6 +81,20 @@ SEG_SCHEMA = ("term_id long, range_id int, seg_id int, n_postings long, "
               "doc_lo long, doc_hi long, payload binary")
 DL_SEG_SCHEMA = ("range_id int, chunk_id int, doc_lo long, n_docs long, "
                  "payload binary")
+# staged blob rows: posting blobs under shard_id >= 0 pack raw int64
+# (term_id, doc_id, tf) triples for one (shard, route) cell; dl blobs
+# under shard_id = -1 pack raw int64 (doc_id, dl) pairs
+STAGE_SCHEMA = "shard_id int, route int, blob binary"
+# routes per shard in the staged layout: enough keys that even a
+# one-shard encode group fans out over every core; encode-side placement
+# only needs all blobs of a (shard, route) to land together, so the
+# value is NOT part of the on-disk contract (resume with a different
+# shuffle-partition count still groups correctly)
+_ROUTES_MIN = 32
+# analyze tasks flush packed blobs whenever this many postings are
+# buffered — bounds task memory at ~24 B × cap regardless of input
+# partition size
+_PACK_FLUSH_POSTINGS = 8_000_000
 
 
 def _fingerprint(config: IndexConfig, input_token: str) -> str:
@@ -182,21 +218,75 @@ def _encode_segment_runs(range_width: int, max_seg: int, block_size: int):
     return gen
 
 
-def _encode_segments(terms: DataFrame, config: IndexConfig,
+def _pack_posting_blobs(terms: np.ndarray, docs: np.ndarray,
+                        tfs: np.ndarray, num_shards: int, n_routes: int,
+                        range_width: int) -> list[tuple[int, int, bytes]]:
+    """Buffered (term, doc, tf) arrays → [(shard_id, route, blob)] rows.
+    route = mix(term, range) so a head term's postings spread over its
+    ranges (the explicit skew salt), while every (term, range) cell maps
+    to exactly one (shard, route) key."""
+    shard = terms % num_shards
+    rid = docs // range_width
+    route = (terms * 1000003 + rid * 7919) % n_routes
+    key = shard * n_routes + route
+    order = np.argsort(key, kind="stable")
+    key = key[order]
+    packed = np.column_stack((terms[order], docs[order],
+                              tfs[order])).astype(np.int64, copy=False)
+    rows = []
+    for s, e, k in _walk_key_runs(key):
+        rows.append((int(k // n_routes), int(k % n_routes),
+                     packed[s:e].tobytes()))
+    return rows
+
+
+def _unpack_triples(blobs) -> pd.DataFrame | None:
+    """Staged blob payloads → one (doc_id, term_id, tf) frame sorted by
+    (term_id, doc_id) — the same unique total order the v3 JVM sort
+    produced (pairs are unique per analyze output), so downstream segment
+    bytes are identical. Zero-copy frombuffer + one lexsort."""
+    arrs = [np.frombuffer(b, dtype=np.int64).reshape(-1, 3) for b in blobs]
+    if not arrs:
+        return None
+    a = np.concatenate(arrs) if len(arrs) > 1 else arrs[0]
+    if a.size == 0:
+        return None
+    a = a[np.lexsort((a[:, 1], a[:, 0]))]
+    return pd.DataFrame({"doc_id": a[:, 1], "term_id": a[:, 0],
+                         "tf": a[:, 2].astype(np.int32)})
+
+
+def _encode_segments(blobs: DataFrame, config: IndexConfig,
                      range_width: int, shuffle_partitions: int) -> DataFrame:
-    """(doc_id, term_id, tf) → SEG_SCHEMA segment rows."""
-    keyed = terms.withColumn(
-        "range_id",
-        (F.col("doc_id") / F.lit(range_width)).cast("int"))
-    sorted_terms = (
-        keyed.repartition(shuffle_partitions, "term_id", "range_id")
-        .sortWithinPartitions("term_id", "doc_id")
-        .select("doc_id", "term_id", "tf")
-    )
-    return sorted_terms.mapInPandas(
-        _encode_segment_runs(range_width, config.max_seg_postings,
-                             config.block_size),
-        schema=SEG_SCHEMA)
+    """Staged blob rows (shard_id, route, blob) → SEG_SCHEMA segment rows.
+
+    Placement: (shard, route) keys are mapped onto hash-slot ints
+    (``_partition_slots``) so every key group gets its own shuffle
+    partition; all blobs of a (term, range) share one key, so each run is
+    encoded whole. The task decodes its blobs (np.frombuffer, zero-copy),
+    lexsorts once, and streams through the same run-encoder v3 used."""
+    slots = _partition_slots(shuffle_partitions)
+    slot_arr = F.array(*[F.lit(s) for s in slots])
+    keyed = (blobs.withColumn(
+        "_slot", F.element_at(
+            slot_arr,
+            F.pmod(F.col("shard_id") * 100003 + F.col("route"),
+                   F.lit(shuffle_partitions)) + 1))
+        .repartition(shuffle_partitions, "_slot")
+        .select("blob"))
+    run_encode = _encode_segment_runs(range_width, config.max_seg_postings,
+                                      config.block_size)
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        blobs_local: list = []
+        for pdf in it:
+            blobs_local.extend(pdf["blob"])
+        triples = _unpack_triples(blobs_local)
+        if triples is None:
+            return
+        yield from run_encode(iter([triples]))
+
+    return keyed.mapInPandas(gen, schema=SEG_SCHEMA)
 
 
 def _encode_dl_runs(range_width: int, chunk_docs: int, block_size: int):
@@ -290,10 +380,9 @@ def _shard_groups(num_shards: int, shards_per_job: int) -> list[list[int]]:
             for s in range(0, num_shards, k)]
 
 
-# staged dl rows ride in the terms table under this sentinel term_id (their
-# own hive partition shard_id=-1) so doc lengths fall out of the analyze
-# pass instead of a second full shuffle over the posting stream
-DL_TERM_ID = -1
+# staged dl blobs ride in the terms table under their own hive partition
+# (shard_id=-1) so doc lengths fall out of the analyze pass instead of a
+# second full shuffle over the posting stream
 
 
 def _sample_url_bounds(pages: DataFrame, n_buckets: int,
@@ -380,6 +469,41 @@ def _partition_slots(n_parts: int) -> list[int]:
     return slots  # type: ignore[return-value]
 
 
+_WARMED_SESSIONS: set = set()
+
+
+def _warm_python_workers(spark: SparkSession):
+    """Spin up the executor python workers — fork + numpy/pandas/Arrow
+    imports, measured as ~2.5 s of near-idle wall at the front of the
+    first UDF stage at BOTH 8 and 32 cores (a pure fixed cost that was
+    flattening the extract sub-phase's scaling ratio). Runs as a tiny
+    mapInPandas job in a background thread so it overlaps the JVM-only
+    url-bounds sampling job. Once per SparkSession; on a long-lived
+    cluster the workers are warm and this is a no-op."""
+    key = id(spark.sparkContext)
+    if key in _WARMED_SESSIONS:
+        return None
+    _WARMED_SESSIONS.add(key)
+    cores = spark.sparkContext.defaultParallelism
+
+    def _run():
+        try:
+            def w(it):
+                import numpy  # noqa: F401
+                import pandas  # noqa: F401
+                from word2doc_spark.functions import tokenize  # noqa: F401
+                yield from it
+
+            (spark.range(0, cores * 2, 1, cores * 2)
+             .mapInPandas(w, "id long").count())
+        except Exception:
+            pass
+
+    th = threading.Thread(target=_run, daemon=True)
+    th.start()
+    return th
+
+
 def _walk_key_runs(keys: np.ndarray):
     """Yield (start, end, key) for consecutive equal-key runs."""
     change = np.concatenate(
@@ -418,8 +542,8 @@ def build_index(
     # -- stage 1+2: docs + staged terms + doc lengths ---------------------
     # One python stage per action: the url-bucketed cached corpus feeds
     # (a) a narrow ids-only pass → docs(doc_id, url) and (b) a combined
-    # ids+analyze pass → (doc_id, term_id, tf) + per-doc dl rows under the
-    # DL_TERM_ID sentinel (doc lengths fall out of the analyze pass — no
+    # ids+analyze pass → packed posting blobs + per-doc dl blobs under the
+    # shard_id=-1 partition (doc lengths fall out of the analyze pass — no
     # second full shuffle over the posting stream). Chaining separate
     # id-assignment and analysis UDF stages in one task doubles the
     # concurrent python-worker count per core — measurably anti-scales.
@@ -442,8 +566,12 @@ def build_index(
         # re-runs the extract UDF for boundary sampling and only ONE cache
         # materialization is needed (the old repartitionByRange plan paid
         # a sampling job through the extract UDF plus a second cache)
+        warm = _warm_python_workers(spark)
         bounds = _sample_url_bounds(pages, n_buckets=sp)
         t_sub = _lap("url_bounds", t0)
+        if warm is not None:
+            warm.join()
+        t_sub = _lap("py_warmup", t_sub)
         ext = extracted_docs(pages, lang_filter, preprocess=preprocess)
         # bucket → slot → own shuffle partition (perfect balance; see
         # _partition_slots). sortWithinPartitions keeps (_pkey, url) order
@@ -495,6 +623,8 @@ def build_index(
 
         ngram, hash_size = config.ngram, config.hash_size
         analyzer_name = config.analyzer
+        num_shards = config.num_shards
+        n_routes = max(_ROUTES_MIN, sp)
 
         def ids_and_analyze(it):
             import numpy as np  # noqa: F811
@@ -503,6 +633,28 @@ def build_index(
             analyzer = shared_analyzer(ngram=ngram, hash_size=hash_size,
                                        tokenizer=analyzer_name)
             pos: dict[int, int] = {}
+            buf_t: list = []
+            buf_d: list = []
+            buf_f: list = []
+            dl_d: list = []
+            dl_v: list = []
+            buffered = 0
+
+            def flush_postings():
+                nonlocal buffered
+                if not buf_t:
+                    return None
+                rows = _pack_posting_blobs(
+                    np.concatenate(buf_t), np.concatenate(buf_d),
+                    np.concatenate(buf_f), num_shards, n_routes,
+                    range_width)
+                buf_t.clear()
+                buf_d.clear()
+                buf_f.clear()
+                buffered = 0
+                return pd.DataFrame(rows,
+                                    columns=["shard_id", "route", "blob"])
+
             for pdf in it:
                 if len(pdf) == 0:
                     continue
@@ -516,42 +668,60 @@ def build_index(
                 term_lists, tf_lists = analyzer.analyze_batch(texts)
                 lens = np.fromiter((t.size for t in term_lists),
                                    dtype=np.int64, count=len(term_lists))
-                if lens.sum() == 0:
-                    continue
-                parts = [pd.DataFrame({
-                    "doc_id": np.repeat(row_ids, lens),
-                    "term_id": np.concatenate(term_lists),
-                    "tf": np.concatenate(tf_lists).astype(np.int32),
-                })]
-                # per-doc dl rows under the sentinel term (dl = Σtf —
-                # exactly what the old groupBy over staged terms computed)
+                if lens.sum() > 0:
+                    buf_t.append(np.concatenate(term_lists)
+                                 .astype(np.int64, copy=False))
+                    buf_d.append(np.repeat(row_ids, lens))
+                    buf_f.append(np.concatenate(tf_lists)
+                                 .astype(np.int64, copy=False))
+                    buffered += int(lens.sum())
+                # per-doc dl pairs (dl = Σtf — exactly what the old
+                # groupBy over exploded staged terms computed)
                 dls = np.fromiter((t.sum() for t in tf_lists),
                                   dtype=np.int64, count=len(tf_lists))
                 mask = dls > 0
                 if mask.any():
-                    parts.append(pd.DataFrame({
-                        "doc_id": row_ids[mask],
-                        "term_id": np.full(int(mask.sum()), DL_TERM_ID,
-                                           dtype=np.int64),
-                        "tf": dls[mask].astype(np.int32),
-                    }))
-                yield pd.concat(parts, ignore_index=True)
+                    dl_d.append(row_ids[mask])
+                    dl_v.append(dls[mask])
+                if buffered >= _PACK_FLUSH_POSTINGS:
+                    out = flush_postings()
+                    if out is not None:
+                        yield out
+            out = flush_postings()
+            if out is not None:
+                yield out
+            if dl_d:
+                d = np.concatenate(dl_d)
+                v = np.concatenate(dl_v)
+                blob = np.column_stack((d, v)).tobytes()
+                yield pd.DataFrame(
+                    [(-1, int(d[0]) % n_routes, blob)],
+                    columns=["shard_id", "route", "blob"])
 
-        terms = (ranged.select("text", "_pkey")
-                 .mapInPandas(ids_and_analyze, "doc_id long, term_id long, tf int")
-                 .withColumn("shard_id",
-                             F.when(F.col("term_id") < 0, F.lit(-1))
-                              .otherwise(F.pmod(F.col("term_id"),
-                                                F.lit(config.num_shards)))))
-        (terms.write.mode("overwrite")
-              .partitionBy("shard_id").parquet(stage_path))
+        (ranged.select("text", "_pkey")
+               .mapInPandas(ids_and_analyze, STAGE_SCHEMA)
+               .write.mode("overwrite")
+               .partitionBy("shard_id").parquet(stage_path))
         t_sub = _lap("analyze_stage", t_sub)
-        # doc lengths (bm25 dl): rewrite the sentinel partition as the
-        # plain doclen table (exact-path join, avgdl) — an N-row read of
+        # doc lengths (bm25 dl): decode the dl blob partition into the
+        # plain doclen table (exact-path join, avgdl) — an N-pair read of
         # one hive partition, not a full-posting-stream aggregation
         staged = spark.read.parquet(stage_path)
-        (staged.filter(F.col("shard_id") == DL_TERM_ID)
-               .select("doc_id", F.col("tf").cast("long").alias("dl"))
+
+        def decode_dl_pairs(it):
+            import numpy as np  # noqa: F811
+            import pandas as pd  # noqa: F811
+            for pdf in it:
+                arrs = [np.frombuffer(b, dtype=np.int64).reshape(-1, 2)
+                        for b in pdf["blob"]]
+                if not arrs:
+                    continue
+                a = np.concatenate(arrs) if len(arrs) > 1 else arrs[0]
+                if a.size:
+                    yield pd.DataFrame({"doc_id": a[:, 0], "dl": a[:, 1]})
+
+        (staged.filter(F.col("shard_id") == -1).select("blob")
+               .mapInPandas(decode_dl_pairs, "doc_id long, dl long")
                .write.mode("overwrite").parquet(doclen_path))
         t_sub = _lap("doclen", t_sub)
         doclen = spark.read.parquet(doclen_path)
@@ -593,8 +763,8 @@ def build_index(
         "spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        # exclude the dl sentinel partition (shard_id=-1) — segment encode
-        # consumes posting triples only
+        # exclude the dl blob partition (shard_id=-1) — segment encode
+        # consumes posting blobs only
         staged_all = (spark.read.parquet(stage_path)
                       .filter(F.col("shard_id") >= 0))
         for group in groups:
@@ -606,7 +776,7 @@ def build_index(
             if len(group) < config.num_shards:
                 part = staged_all.filter(F.col("shard_id").isin(group))
             encoded = _encode_segments(
-                part.select("doc_id", "term_id", "tf"), config,
+                part.select("shard_id", "route", "blob"), config,
                 range_width, sp)
             (encoded.withColumn(
                 "shard_id", F.pmod(F.col("term_id"),

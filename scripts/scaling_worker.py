@@ -43,6 +43,19 @@ def scaling_queries(n: int) -> list[tuple[int, str]]:
     return out
 
 
+def selective_queries(n: int) -> list[tuple[int, str]]:
+    """Rare term + dense topic term — the block-max WAND regime at k=1:
+    the rare term (a title number, df≈1 → idf≈ln N) sets θ far above
+    anything the dense term (df≈15%, deep posting runs) can reach alone,
+    so a θ-seeded WAND skips the dense term's blocks in every doc range
+    while the full scan must decode+accumulate them all. (A df>50% head
+    term can't play this role: the drqa/bm25 idf clamp zeroes it out of
+    the query.)"""
+    words = [ws[0] for _, ws in _TOPICS]
+    return [(i, f"{(i * 7919) % 100000} {words[i % len(words)]}")
+            for i in range(n)]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--cpus", type=int, required=True)
@@ -119,7 +132,8 @@ def main():
             search_wand(spark, idx, warm, k=5, score_mode="drqa").count()
             search_fast(spark, idx, warm, k=5, score_mode="drqa").count()
             search_exact(spark, idx, warm, k=5, score_mode="drqa").count()
-            only = set((args.only or "wand,fast,bm25,exact").split(","))
+            only = set((args.only or
+                        "wand,fast,bm25,exact,selective").split(","))
             qdf = spark.createDataFrame(scaling_queries(args.n_queries),
                                         "query_id long, query string")
             out["n_queries"] = args.n_queries
@@ -152,6 +166,23 @@ def main():
                 search_fast(spark, idx, bq, k=10,
                             score_mode="bm25").count()
                 out["query_bm25_s"] = round(time.time() - t0, 2)
+
+            if "selective" in only:
+                # selective phase: WAND's pruning regime vs the full scan
+                # on the SAME workload — rare+head queries, k=3
+                n_sel = args.n_queries * 10
+                sq = spark.createDataFrame(
+                    selective_queries(n_sel),
+                    "query_id long, query string")
+                out["n_queries_sel"] = n_sel
+                t0 = time.time()
+                search_wand(spark, idx, sq, k=1,
+                            score_mode="drqa").count()
+                out["query_wand_sel_s"] = round(time.time() - t0, 2)
+                t0 = time.time()
+                search_fast(spark, idx, sq, k=1,
+                            score_mode="drqa").count()
+                out["query_fast_sel_s"] = round(time.time() - t0, 2)
 
             if "exact" in only:
                 # exact join path: correctness twin; timed on the small

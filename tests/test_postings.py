@@ -126,3 +126,60 @@ def test_encode_postings_batch_byte_identity():
     assert encode_postings_batch(np.empty(0, np.uint64),
                                  np.empty(0, np.uint64),
                                  np.empty(0, np.int64)) == []
+
+
+def test_pack_triples_roundtrip_property():
+    """pack_triples/unpack_triples round-trip on randomized (term, doc)
+    sorted triples, including multi-run doc-delta restarts and huge ids."""
+    import numpy as np
+    from word2doc_spark.index.postings import pack_triples, unpack_triples
+
+    rng = np.random.default_rng(23)
+    for _ in range(30):
+        n_terms = int(rng.integers(1, 40))
+        terms, docs, tfs = [], [], []
+        for _ in range(n_terms):
+            t = int(rng.integers(0, 2 ** 24))
+            ln = int(rng.integers(1, 200))
+            d = np.sort(rng.choice(10 ** 12, size=ln, replace=False))
+            terms.append(np.full(ln, t, dtype=np.int64))
+            docs.append(d.astype(np.int64))
+            tfs.append(rng.integers(1, 70000, size=ln).astype(np.int64))
+        t = np.concatenate(terms)
+        d = np.concatenate(docs)
+        f = np.concatenate(tfs)
+        order = np.lexsort((d, t))
+        t, d, f = t[order], d[order], f[order]
+        # duplicate (term, doc) pairs can't occur in analyze output, but
+        # sorting must still be the only precondition — drop dups
+        keep = np.concatenate(([True], (t[1:] != t[:-1]) | (d[1:] != d[:-1])))
+        t, d, f = t[keep], d[keep], f[keep]
+        blob = pack_triples(t, d, f)
+        tt, dd, ff = unpack_triples(blob)
+        assert np.array_equal(tt, t)
+        assert np.array_equal(dd, d)
+        assert np.array_equal(ff, f)
+        # compression sanity: well under raw int64 triples
+        assert len(blob) < t.size * 24
+
+    tt, dd, ff = unpack_triples(pack_triples(
+        np.empty(0, np.int64), np.empty(0, np.int64),
+        np.empty(0, np.int64)))
+    assert tt.size == dd.size == ff.size == 0
+
+
+def test_pack_pairs_roundtrip():
+    import numpy as np
+    from word2doc_spark.index.postings import pack_pairs, unpack_pairs
+
+    rng = np.random.default_rng(5)
+    for _ in range(10):
+        ln = int(rng.integers(1, 5000))
+        k = np.sort(rng.choice(10 ** 12, size=ln, replace=False)).astype(
+            np.int64)
+        v = rng.integers(1, 10 ** 6, size=ln).astype(np.int64)
+        kk, vv = unpack_pairs(pack_pairs(k, v))
+        assert np.array_equal(kk, k) and np.array_equal(vv, v)
+    kk, vv = unpack_pairs(pack_pairs(np.empty(0, np.int64),
+                                     np.empty(0, np.int64)))
+    assert kk.size == vv.size == 0

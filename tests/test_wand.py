@@ -163,3 +163,23 @@ def test_wand_seeding_differential_on_index(spark, built):
     key = lambda r: (r["query_id"], r["rank"])
     assert sorted(((r["query_id"], r["rank"], r["doc_id"]) for r in on)) \
         == sorted(((r["query_id"], r["rank"], r["doc_id"]) for r in off))
+
+
+@pytest.mark.parametrize("mode", ["drqa", "bm25"])
+def test_wand_seeding_distributed_identity(spark, built, mode):
+    """Distributed-analyzed batch + θ seeding (the executor-side seed
+    join path): identical rows to the exact path and the unseeded run."""
+    qdf = spark.createDataFrame(QUERIES, "query_id long, query string")
+    seeded = search_wand(spark, built, qdf, k=6, score_mode=mode,
+                         analysis="distributed",
+                         seed_theta=True).collect()
+    plain = search_wand(spark, built, qdf, k=6, score_mode=mode,
+                        analysis="distributed",
+                        seed_theta=False).collect()
+    exact = search_exact(spark, built, qdf, k=6, score_mode=mode).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["doc_id"])
+    assert sorted(map(key, seeded)) == sorted(map(key, plain)) \
+        == sorted(map(key, exact))
+    for a, b in zip(sorted(seeded, key=key), sorted(exact, key=key)):
+        assert math.isclose(a["score"], b["score"], rel_tol=1e-9,
+                            abs_tol=1e-12)

@@ -221,39 +221,47 @@ def _encode_segment_runs(range_width: int, max_seg: int, block_size: int):
 def _pack_posting_blobs(terms: np.ndarray, docs: np.ndarray,
                         tfs: np.ndarray, num_shards: int, n_routes: int,
                         range_width: int) -> list[tuple[int, int, bytes]]:
-    """Buffered (term, doc, tf) arrays → [(shard_id, route, blob)] rows.
+    """Buffered (term, doc, tf) arrays → [(shard_id, route, blob)] rows,
+    each blob delta+varint packed (postings.pack_triples).
     route = mix(term, range) so a head term's postings spread over its
     ranges (the explicit skew salt), while every (term, range) cell maps
     to exactly one (shard, route) key."""
+    from word2doc_spark.index.postings import pack_triples
     shard = terms % num_shards
     rid = docs // range_width
     route = (terms * 1000003 + rid * 7919) % n_routes
     key = shard * n_routes + route
-    order = np.argsort(key, kind="stable")
+    # one lexsort orders blobs AND sorts (term, doc) within each blob —
+    # the order pack_triples' delta chains require
+    order = np.lexsort((docs, terms, key))
     key = key[order]
-    packed = np.column_stack((terms[order], docs[order],
-                              tfs[order])).astype(np.int64, copy=False)
+    terms, docs, tfs = terms[order], docs[order], tfs[order]
     rows = []
     for s, e, k in _walk_key_runs(key):
         rows.append((int(k // n_routes), int(k % n_routes),
-                     packed[s:e].tobytes()))
+                     pack_triples(terms[s:e], docs[s:e], tfs[s:e])))
     return rows
 
 
-def _unpack_triples(blobs) -> pd.DataFrame | None:
+def _merge_blob_triples(blobs) -> pd.DataFrame | None:
     """Staged blob payloads → one (doc_id, term_id, tf) frame sorted by
     (term_id, doc_id) — the same unique total order the v3 JVM sort
     produced (pairs are unique per analyze output), so downstream segment
-    bytes are identical. Zero-copy frombuffer + one lexsort."""
-    arrs = [np.frombuffer(b, dtype=np.int64).reshape(-1, 3) for b in blobs]
-    if not arrs:
+    bytes are identical. Vectorized varint decode + one lexsort."""
+    from word2doc_spark.index.postings import unpack_triples
+    parts = [unpack_triples(bytes(b)) for b in blobs]
+    parts = [p for p in parts if p[0].size]
+    if not parts:
         return None
-    a = np.concatenate(arrs) if len(arrs) > 1 else arrs[0]
-    if a.size == 0:
-        return None
-    a = a[np.lexsort((a[:, 1], a[:, 0]))]
-    return pd.DataFrame({"doc_id": a[:, 1], "term_id": a[:, 0],
-                         "tf": a[:, 2].astype(np.int32)})
+    if len(parts) == 1:
+        t, d, f = parts[0]
+    else:
+        t = np.concatenate([p[0] for p in parts])
+        d = np.concatenate([p[1] for p in parts])
+        f = np.concatenate([p[2] for p in parts])
+    order = np.lexsort((d, t))
+    return pd.DataFrame({"doc_id": d[order], "term_id": t[order],
+                         "tf": f[order].astype(np.int32)})
 
 
 def _encode_segments(blobs: DataFrame, config: IndexConfig,
@@ -281,7 +289,7 @@ def _encode_segments(blobs: DataFrame, config: IndexConfig,
         blobs_local: list = []
         for pdf in it:
             blobs_local.extend(pdf["blob"])
-        triples = _unpack_triples(blobs_local)
+        triples = _merge_blob_triples(blobs_local)
         if triples is None:
             return
         yield from run_encode(iter([triples]))
@@ -395,21 +403,23 @@ def _sample_url_bounds(pages: DataFrame, n_buckets: int,
     with no Python in it. Boundaries are approximate — the empty-text
     filter later removes some urls — which only skews bucket sizes
     slightly, never correctness (ids come from per-bucket counts)."""
-    # small corpora: ONE job collects every url (exact quantiles); the
-    # count+sample pair only runs when the input exceeds max_sample rows
-    head = pages.select("url").limit(max_sample + 1).collect()
-    if not head:
+    # count first (a metadata-cheap scan), then either collect every url
+    # (small corpora: exact quantiles) or a bounded sample — the old
+    # limit(max_sample+1) probe shipped 100k rows through the driver just
+    # to learn the corpus was big
+    n = pages.count()
+    if n == 0:
         return []
-    if len(head) <= max_sample:
-        urls = sorted(r["url"] for r in head)
+    if n <= max_sample:
+        urls = sorted(r["url"] for r in pages.select("url").collect())
     else:
-        n = pages.count()
         frac = min(1.0, max_sample / max(n, 1))
         urls = sorted(r["url"] for r in
                       pages.select("url").sample(False, frac, seed=7)
                       .collect())
         if not urls:
-            urls = sorted(r["url"] for r in head[:1024])
+            urls = sorted(r["url"] for r in
+                          pages.select("url").limit(1024).collect())
     bounds = {urls[min(len(urls) - 1, (i * len(urls)) // n_buckets)]
               for i in range(1, n_buckets)}
     return sorted(bounds)
@@ -578,6 +588,12 @@ def build_index(
         # so id assignment walks bucket runs even if buckets ever share a
         # task (e.g. collapsed duplicate boundaries).
         slots = F.array(*[F.lit(s) for s in _partition_slots(sp)])
+        # uncompressed cache: the extracted corpus is read back exactly
+        # twice (ids pass, analyze pass) and columnar compression of the
+        # text column costs more one-off CPU than the two reads save
+        cache_comp_key = "spark.sql.inMemoryColumnarStorage.compressed"
+        cache_comp_old = spark.conf.get(cache_comp_key, "true")
+        spark.conf.set(cache_comp_key, "false")
         ranged = (ext.withColumn("_pkey", _url_bucket_col(bounds))
                      .withColumn("_pslot", F.element_at(
                          slots, F.col("_pkey") + 1))
@@ -691,9 +707,11 @@ def build_index(
             if out is not None:
                 yield out
             if dl_d:
+                from word2doc_spark.index.postings import pack_pairs
                 d = np.concatenate(dl_d)
                 v = np.concatenate(dl_v)
-                blob = np.column_stack((d, v)).tobytes()
+                order = np.argsort(d, kind="stable")
+                blob = pack_pairs(d[order], v[order])
                 yield pd.DataFrame(
                     [(-1, int(d[0]) % n_routes, blob)],
                     columns=["shard_id", "route", "blob"])
@@ -711,14 +729,16 @@ def build_index(
         def decode_dl_pairs(it):
             import numpy as np  # noqa: F811
             import pandas as pd  # noqa: F811
+            from word2doc_spark.index.postings import unpack_pairs
             for pdf in it:
-                arrs = [np.frombuffer(b, dtype=np.int64).reshape(-1, 2)
-                        for b in pdf["blob"]]
-                if not arrs:
+                parts = [unpack_pairs(bytes(b)) for b in pdf["blob"]]
+                parts = [p for p in parts if p[0].size]
+                if not parts:
                     continue
-                a = np.concatenate(arrs) if len(arrs) > 1 else arrs[0]
-                if a.size:
-                    yield pd.DataFrame({"doc_id": a[:, 0], "dl": a[:, 1]})
+                yield pd.DataFrame({
+                    "doc_id": np.concatenate([p[0] for p in parts]),
+                    "dl": np.concatenate([p[1] for p in parts]),
+                })
 
         (staged.filter(F.col("shard_id") == -1).select("blob")
                .mapInPandas(decode_dl_pairs, "doc_id long, dl long")
@@ -741,6 +761,7 @@ def build_index(
                  .write.mode("overwrite").parquet(doclen_seg_path))
         t_sub = _lap("doclen_seg", t_sub)
         ranged.unpersist()
+        spark.conf.set(cache_comp_key, cache_comp_old)
         manifest.write_marker("stage", fp, wall_s=time.time() - t0,
                               n_docs=n_docs, range_width=range_width,
                               sub_walls=sub)

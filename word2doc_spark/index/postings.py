@@ -71,6 +71,89 @@ def varint_decode(buf: np.ndarray, count: int | None = None) -> np.ndarray:
     return vals
 
 
+_TRIPLE_HDR = struct.Struct("<III")     # n, nbytes_terms, nbytes_docs
+_PAIR_HDR = struct.Struct("<II")        # n, nbytes_keys
+
+
+def pack_triples(terms: np.ndarray, docs: np.ndarray,
+                 tfs: np.ndarray) -> bytes:
+    """Delta+varint pack of (term, doc, tf) triples sorted by (term, doc).
+
+    Stream: header | varint(delta(term)) | varint(doc_enc) | varint(tf)
+    where doc_enc is the in-run doc delta, restarting at the absolute doc
+    id on each term change. ~4x smaller than raw int64 triples — the
+    staged-blob shuffle and parquet IO are bus-bound, so fewer bytes buy
+    wall time the extra (core-scaling) varint CPU does not cost back.
+    """
+    terms = np.asarray(terms, dtype=np.uint64)
+    docs = np.asarray(docs, dtype=np.uint64)
+    tfs = np.asarray(tfs, dtype=np.uint64)
+    n = terms.size
+    if n == 0:
+        return _TRIPLE_HDR.pack(0, 0, 0)
+    tdelta = np.empty(n, dtype=np.uint64)
+    tdelta[0] = terms[0]
+    np.subtract(terms[1:], terms[:-1], out=tdelta[1:])
+    denc = np.empty(n, dtype=np.uint64)
+    denc[0] = docs[0]
+    same = terms[1:] == terms[:-1]
+    denc[1:] = np.where(same, docs[1:] - docs[:-1], docs[1:])
+    tb = varint_encode(tdelta)
+    db = varint_encode(denc)
+    fb = varint_encode(tfs)
+    return b"".join((_TRIPLE_HDR.pack(n, tb.size, db.size),
+                     tb.tobytes(), db.tobytes(), fb.tobytes()))
+
+
+def unpack_triples(blob: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Inverse of :func:`pack_triples` → (terms, docs, tfs) int64 arrays
+    in the packed (term, doc)-sorted order."""
+    n, nbt, nbd = _TRIPLE_HDR.unpack_from(blob, 0)
+    if n == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, e
+    buf = np.frombuffer(blob, dtype=np.uint8)[_TRIPLE_HDR.size:]
+    terms = np.cumsum(varint_decode(buf[:nbt], n), dtype=np.uint64)
+    denc = varint_decode(buf[nbt:nbt + nbd], n)
+    tfs = varint_decode(buf[nbt + nbd:], n)
+    starts = np.flatnonzero(
+        np.concatenate(([True], terms[1:] != terms[:-1])))
+    c = np.cumsum(denc, dtype=np.uint64)
+    base = c[starts] - denc[starts]
+    run_lens = np.diff(np.concatenate((starts, [n])))
+    docs = c - np.repeat(base, run_lens)
+    return (terms.astype(np.int64), docs.astype(np.int64),
+            tfs.astype(np.int64))
+
+
+def pack_pairs(keys: np.ndarray, vals: np.ndarray) -> bytes:
+    """Delta+varint pack of (key, val) pairs sorted by key ascending
+    (the staged per-doc (doc_id, dl) blobs)."""
+    keys = np.asarray(keys, dtype=np.uint64)
+    vals = np.asarray(vals, dtype=np.uint64)
+    n = keys.size
+    if n == 0:
+        return _PAIR_HDR.pack(0, 0)
+    kdelta = np.empty(n, dtype=np.uint64)
+    kdelta[0] = keys[0]
+    np.subtract(keys[1:], keys[:-1], out=kdelta[1:])
+    kb = varint_encode(kdelta)
+    vb = varint_encode(vals)
+    return b"".join((_PAIR_HDR.pack(n, kb.size), kb.tobytes(),
+                     vb.tobytes()))
+
+
+def unpack_pairs(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
+    n, nbk = _PAIR_HDR.unpack_from(blob, 0)
+    if n == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    buf = np.frombuffer(blob, dtype=np.uint8)[_PAIR_HDR.size:]
+    keys = np.cumsum(varint_decode(buf[:nbk], n), dtype=np.uint64)
+    vals = varint_decode(buf[nbk:], n)
+    return keys.astype(np.int64), vals.astype(np.int64)
+
+
 def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray,
                     block_size: int = 128) -> bytes:
     """Encode one term's postings. doc_ids must be sorted unique ascending."""

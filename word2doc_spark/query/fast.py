@@ -43,26 +43,44 @@ def fast_topk(
     k: int, mode: str, k1: float, b: float, avgdl: float,
     dl,
     theta0: float = -1.0,
+    cache: dict | None = None,
 ) -> list[tuple[int, float]]:
     """Exact top-k by full vectorized accumulation. term_rows: (w_q, idf,
     payload-or-[payloads]); dl: dense array, SparseDL, or None. theta0 is
     accepted for kernel-signature parity with wand_topk; a full scan has
-    nothing to prune with it."""
+    nothing to prune with it.
+
+    cache: optional per-TASK dict shared across a batch's queries — a
+    term's decoded chain is query-independent, so hot terms decode once
+    per task instead of once per query (the dominant kernel cost for
+    overlapping batches)."""
     doc_parts: list[np.ndarray] = []
     score_parts: list[np.ndarray] = []
     for w, idf, payload in term_rows:
         if w <= 0.0:
             continue
-        docs, tfs = _decode_chain(payload)
-        tfs = tfs.astype(np.float64)
+        ckey = None
+        if cache is not None:
+            ckey = ("chain",
+                    id(payload) if isinstance(payload, (bytes, bytearray))
+                    else tuple(map(id, payload)))
+            got = cache.get(ckey)
+        else:
+            got = None
+        if got is None:
+            d_raw, t_raw = _decode_chain(payload)
+            got = (d_raw.astype(np.int64), t_raw.astype(np.float64))
+            if cache is not None:
+                cache[ckey] = got
+        docs, tfs = got
         if mode == "drqa":
             contrib = (w * idf) * np.log1p(tfs)
         else:
-            d = np.asarray(dl[docs.astype(np.int64)], dtype=np.float64) \
+            d = np.asarray(dl[docs], dtype=np.float64) \
                 if dl is not None else np.full(docs.size, avgdl)
             contrib = w * (tfs * (k1 + 1.0)) / (
                 tfs + k1 * (1.0 - b + b * d / avgdl))
-        doc_parts.append(docs.astype(np.int64))
+        doc_parts.append(docs)
         score_parts.append(contrib)
     if not doc_parts:
         return []

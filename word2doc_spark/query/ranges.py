@@ -63,12 +63,43 @@ CAND_SCHEMA = "query_id long, doc_id long, score double"
 # θ seeding collects O(Q) (id, float) rows to the driver — safe far past
 # the analysis threshold, but skip it for truly enormous batches
 SEED_MAX_QUERIES = 200_000
-# 'auto' seeding threshold: below this many doc ranges the per-range θ
-# restart costs little and the seed pre-pass (an extra metadata job + one
-# range's scoring) is pure overhead; above it, pruning loss compounds
-# per range and seeding pays (measured: 32-range sf0.1 bench loses ~2×
-# wall to always-on seeding; the 10^12-doc sizing uses 10^4+ ranges)
-SEED_MIN_RANGES = 64
+# 'auto' seeding threshold: the seed pre-pass costs ~3 extra Spark jobs
+# (densest-range agg, seed scoring, k-th window) — a CONSTANT overhead —
+# while the pruning it buys grows linearly with n_ranges (each range's θ
+# restart forfeits the cross-range threshold). Measured at 128 ranges /
+# 500k docs the constant loses (~10 s overhead vs ~2 s pruning gain);
+# the 10^12-doc sizing uses 10^4+ ranges where the linear term wins.
+SEED_MIN_RANGES = 1024
+
+
+# process-lifetime decoded-dl cache (executor side): decode_dl_blobs was
+# re-decoding every dl chunk of a range group in every task of every
+# batch — the dominant cost of the fast-bm25 path's scaling gap. Keyed by
+# (index fingerprint, group key); bounded by bytes with FIFO eviction.
+# Same pattern as tokenize.shared_analyzer (python workers are reused
+# across tasks, so the cache amortizes across batches).
+_DL_CACHE: dict = {}
+_DL_CACHE_BYTES = [0]
+_DL_CACHE_MAX_BYTES = 256 << 20
+
+
+def _dl_cache_get(fp: str, group_key, dlpdf: pd.DataFrame):
+    if fp is None:
+        return decode_dl_blobs(dlpdf)
+    key = (fp, group_key)
+    hit = _DL_CACHE.get(key)
+    if hit is not None:
+        return hit
+    dl = decode_dl_blobs(dlpdf)
+    if dl is not None:
+        nbytes = int(dl.docs.nbytes + dl.vals.nbytes)
+        while _DL_CACHE and _DL_CACHE_BYTES[0] + nbytes > _DL_CACHE_MAX_BYTES:
+            old = _DL_CACHE.pop(next(iter(_DL_CACHE)))
+            _DL_CACHE_BYTES[0] -= int(old.docs.nbytes + old.vals.nbytes)
+        if nbytes <= _DL_CACHE_MAX_BYTES:
+            _DL_CACHE[key] = dl
+            _DL_CACHE_BYTES[0] += nbytes
+    return dl
 
 
 class SparseDL:
@@ -116,7 +147,10 @@ def _score_range(pdf: pd.DataFrame, dl, k: int, mode: str, k1: float,
     Grouping is one lexsort + numpy boundary walks (no per-group pandas
     frames — the hot loop runs once per (query, term), not per row).
     ``seeds``: optional {query_id: θ0} lower bounds (see search_wand
-    seeding) passed through to the kernel."""
+    seeding) passed through to the kernel. A ``theta0`` COLUMN on ``pdf``
+    (the distributed-batch seed join; the query's k-th seed-pass score,
+    NaN when unseeded) takes precedence — the kernel seed is nudged
+    strictly below it, preserving exactness."""
     qids = pdf["query_id"].to_numpy()
     tids = pdf["term_id"].to_numpy()
     dlos = pdf["doc_lo"].to_numpy()
@@ -125,6 +159,8 @@ def _score_range(pdf: pd.DataFrame, dl, k: int, mode: str, k1: float,
     ws = pdf["w"].to_numpy()[order]
     idfs = pdf["idf"].to_numpy()[order]
     payloads = pdf["payload"].to_numpy()[order]
+    thetas = (pdf["theta0"].to_numpy(dtype=np.float64)[order]
+              if "theta0" in pdf.columns else None)
     n = len(pdf)
     q_change = np.flatnonzero(
         np.concatenate(([True], qids[1:] != qids[:-1])))
@@ -132,6 +168,7 @@ def _score_range(pdf: pd.DataFrame, dl, k: int, mode: str, k1: float,
     t_change = np.concatenate(
         ([True], (qids[1:] != qids[:-1]) | (tids[1:] != tids[:-1])))
     out_q, out_d, out_s = [], [], []
+    cache: dict = {}  # per-task decode cache shared across the queries
     for qs, qe in zip(q_change, q_ends):
         starts = qs + np.flatnonzero(t_change[qs:qe])
         ends = np.concatenate((starts[1:], [qe]))
@@ -141,9 +178,12 @@ def _score_range(pdf: pd.DataFrame, dl, k: int, mode: str, k1: float,
             for s, e in zip(starts, ends)
         ]
         qid = int(qids[qs])
-        theta0 = seeds.get(qid, -1.0) if seeds else -1.0
+        if thetas is not None and np.isfinite(thetas[qs]):
+            theta0 = float(np.nextafter(thetas[qs], -np.inf))
+        else:
+            theta0 = seeds.get(qid, -1.0) if seeds else -1.0
         for doc, score in topk_fn(term_rows, k, mode, k1, b, avgdl, dl,
-                                  theta0=theta0):
+                                  theta0=theta0, cache=cache):
             out_q.append(qid)
             out_d.append(doc)
             out_s.append(score)
@@ -173,12 +213,8 @@ def search_doc_partitioned(
 
     seed_theta (WAND): True, False, or 'auto' (seed only when the index
     has ≥ SEED_MIN_RANGES deep-segment doc ranges — where per-range θ
-    restarts actually cost pruning power). Seeding needs the
-    driver-resident weighted-terms table, so it applies to
-    driver-analyzed batches only; a distributed batch ignores it (the
-    per-query seed collect would defeat the point of distributed
-    analysis). The pre-pass scores, per query,
-    only its densest doc range (chosen from segment METADATA — a
+    restarts actually cost pruning power). The pre-pass scores, per
+    query, only its densest doc range (chosen from segment METADATA — a
     payload-free column-pruned scan) and seeds every range task's pruning
     threshold with just-below that range's k-th score. A range's local
     k-th score is ≤ the global k-th score, and the seed sits strictly
@@ -186,7 +222,16 @@ def search_doc_partitioned(
     exactness (incl. doc_id tie-breaks) is preserved; differential tests
     assert identity. This restores cross-range pruning power that
     per-range θ restarts lose as n_ranges grows (10^4+ ranges at the
-    10^12-doc sizing)."""
+    10^12-doc sizing).
+
+    Driver-analyzed batches seed through an O(Q)-row driver collect;
+    distributed batches stay fully executor-side (per-query densest
+    range and k-th seed computed by joins, seeds delivered to the range
+    tasks as a broadcast ``theta0`` column). Batches beyond
+    SEED_MAX_QUERIES skip seeding — a ≤SEED_MAX_QUERIES seed table
+    broadcasts in single-digit MB; beyond it the seed join would carry
+    more weight than the pruning it buys."""
+    _drain_unpersist()
     manifest = Manifest(index_dir)
     config, stats = manifest.load()
     mode = score_mode or config.score_mode
@@ -195,26 +240,43 @@ def search_doc_partitioned(
     n_docs = int(stats["n_docs"])
     avgdl = float(stats["avgdl"])
     k1, b = config.k1, config.b
+    fp = stats.get("fingerprint")
 
     qdf, term_pred, wqt, nq = prepare_weighted_terms(
         spark, index_dir, queries, config, n_docs, strict, analysis)
     if qdf is None:
         return _empty_result(spark)
-    n_q = nq if nq is not None else queries.count()
-    # auto-seed gate: many ranges (per-range θ restarts cost pruning) AND
-    # deep segments (avg postings/segment ≥ 2 blocks — shallow segments
-    # leave block-max nothing to skip, so the pre-pass is pure overhead;
-    # measured +20% on a 500k corpus whose segments average 5 postings)
-    seg_depth = (float(stats.get("n_postings", 0))
-                 / max(float(stats.get("n_segments", 0) or 0), 1.0))
     # actual range count from the published layout (config.n_ranges may be
     # 0 = auto-sized at build)
     n_ranges = -(-n_docs // max(int(stats.get("range_width", n_docs)), 1))
-    do_seed = (seed_theta is True
-               or (seed_theta == "auto"
-                   and n_ranges >= SEED_MIN_RANGES
-                   and seg_depth >= 2 * config.block_size)) \
-        and n_q <= SEED_MAX_QUERIES
+    # auto-seed gate: many ranges (per-range θ restarts cost pruning) AND
+    # deep matched runs (avg matched postings per (term, range) cell ≥ 2
+    # blocks — shallow cells leave block-max nothing to skip, so the
+    # pre-pass is pure overhead; measured +20% on a tiny corpus whose
+    # cells average 5 postings). Depth is BATCH-aware when the batch was
+    # driver-analyzed (per-term dfs are already in hand — a rare+head
+    # query batch seeds even on an index whose average segment is
+    # shallow); distributed batches fall back to the index-global mean.
+    if wqt is not None and len(wqt):
+        u = wqt.drop_duplicates("term_id")["df"].to_numpy(
+            dtype=np.float64)
+        depth = float(u.sum()
+                      / max(np.minimum(u, n_ranges).sum(), 1.0))
+    else:
+        depth = (float(stats.get("n_postings", 0))
+                 / max(float(stats.get("n_segments", 0) or 0), 1.0))
+    want_seed = (seed_theta is True
+                 or (seed_theta == "auto"
+                     and n_ranges >= SEED_MIN_RANGES
+                     and depth >= 2 * config.block_size))
+    if want_seed:
+        # bounded count — only run the extra job when seeding is on the
+        # table at all (a driver-analyzed batch already knows its size)
+        n_q = nq if nq is not None else \
+            queries.limit(SEED_MAX_QUERIES + 1).count()
+        do_seed = n_q <= SEED_MAX_QUERIES
+    else:
+        n_q, do_seed = nq, False
 
     if wqt is not None:
         # driver-analyzed batch: the weighted-terms table is SMALL — ship
@@ -225,7 +287,7 @@ def search_doc_partitioned(
         # shuffle + Arrow — measured 4× wall on the 500k scaling bench.)
         cand = _score_ranges_broadcast(
             spark, index_dir, term_pred, config, wqt, k, mode, k1, b,
-            avgdl, topk_fn, do_seed)
+            avgdl, topk_fn, do_seed, fp)
     else:
         # distributed batch: query table is executor-resident; fall back
         # to the join shape, sub-bucketed by query for task balance
@@ -233,21 +295,45 @@ def search_doc_partitioned(
         # buckets add no shuffle volume)
         segs = _matched_segments(spark, index_dir, term_pred,
                                  config.num_shards)
-        n_buckets = int(min(32, max(1, n_q // 32)))
+        n_buckets = 32 if n_q is None else int(min(32, max(1, n_q // 32)))
         joined = (segs.join(qdf, "term_id")
                   .withColumn("qb",
                               F.pmod(F.col("query_id"), F.lit(n_buckets))
                               .cast("int"))
                   .select("range_id", "qb", "query_id", "term_id", "w",
                           "idf", "doc_lo", "payload"))
+        if do_seed:
+            theta0 = _theta_seeds_distributed(
+                spark, index_dir, term_pred, config, qdf, joined, k,
+                mode, k1, b, avgdl, topk_fn, n_buckets, fp)
+            if theta0 is not None:
+                joined = joined.join(F.broadcast(theta0), "query_id",
+                                     "left")
         cand = _score_all_ranges(spark, index_dir, joined, k, mode, k1, b,
-                                 avgdl, topk_fn, n_buckets)
+                                 avgdl, topk_fn, n_buckets, fp)
 
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id"))
     topk = (cand.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= k))
     return attach_urls(spark, index_dir, topk)
+
+
+# DataFrames persisted for a seed+main job pair; unpersisted at the START
+# of the next search call (the caller's action on the returned DataFrame
+# runs after this function exits, so an in-call unpersist would drop the
+# cache before the main job reads it; MEMORY_AND_DISK evicts cleanly
+# under pressure in the meantime)
+_PENDING_UNPERSIST: list = []
+
+
+def _drain_unpersist() -> None:
+    while _PENDING_UNPERSIST:
+        df = _PENDING_UNPERSIST.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass
 
 
 def _wqt_groups(wqt: pd.DataFrame) -> list:
@@ -287,6 +373,7 @@ def _score_range_broadcast(pdf: pd.DataFrame, groups, dl, k, mode, k1, b,
               for s, e in zip(starts, ends)}
     g = int(pdf["_g"].iloc[0]) if only_groups is not None else None
     out_q, out_d, out_s = [], [], []
+    cache: dict = {}  # per-task decode cache shared across the queries
     for qid, terms in groups:
         if only_groups is not None and only_groups.get(qid) != g:
             continue
@@ -296,7 +383,7 @@ def _score_range_broadcast(pdf: pd.DataFrame, groups, dl, k, mode, k1, b,
             continue
         theta0 = seeds.get(qid, -1.0) if seeds else -1.0
         for doc, score in topk_fn(term_rows, k, mode, k1, b, avgdl, dl,
-                                  theta0=theta0):
+                                  theta0=theta0, cache=cache):
             out_q.append(qid)
             out_d.append(doc)
             out_s.append(score)
@@ -308,12 +395,13 @@ def _score_range_broadcast(pdf: pd.DataFrame, groups, dl, k, mode, k1, b,
 
 
 def _score_ranges_broadcast(spark, index_dir, term_pred, config, wqt,
-                            k, mode, k1, b, avgdl, topk_fn, do_seed):
+                            k, mode, k1, b, avgdl, topk_fn, do_seed,
+                            fp=None):
     """Range-grouped scoring with the query table in the kernel closure.
     Shuffle volume = each matched segment once (keyed by range_id) —
     independent of batch size; parallelism = n_ranges tasks (set ≫ cores
     at build time). bm25 dl blobs cogroup in once per range, never
-    replicated."""
+    replicated (and decode once per executor process — _dl_cache_get)."""
     groups = _wqt_groups(wqt)
     # group key: ranges are mapped ROUND-ROBIN onto ints that Spark
     # hash-partitions to distinct shuffle partitions (build._partition_slots
@@ -341,10 +429,16 @@ def _score_ranges_broadcast(spark, index_dir, term_pred, config, wqt,
 
     seeds = None
     if do_seed:
+        # the seed pre-pass and the main pass both consume the matched
+        # segments — persist so the segment scan + shuffle runs once
+        # (unpersisted at the next search call, see _PENDING_UNPERSIST)
+        from pyspark import StorageLevel
+        segs = segs.persist(StorageLevel.MEMORY_AND_DISK)
+        _PENDING_UNPERSIST.append(segs)
         seeds = _theta_seeds_broadcast(spark, index_dir, term_pred,
                                        config, wqt, groups, segs, keyed,
                                        slots, sp, k, mode,
-                                       k1, b, avgdl, topk_fn)
+                                       k1, b, avgdl, topk_fn, fp)
 
     def scorer(seed_map=None):
         if mode == "bm25":
@@ -356,7 +450,8 @@ def _score_ranges_broadcast(spark, index_dir, term_pred, config, wqt,
                 if len(left) == 0:
                     return pd.DataFrame(
                         {"query_id": [], "doc_id": [], "score": []})
-                dl = decode_dl_blobs(right)
+                dl = _dl_cache_get(fp, ("g", sp, int(left["_g"].iloc[0])),
+                                   right)
                 if dl is None:
                     rid = left["range_id"].iloc[0]
                     raise RuntimeError(
@@ -380,33 +475,45 @@ def _score_ranges_broadcast(spark, index_dir, term_pred, config, wqt,
     return scorer(seed_map=seeds)
 
 
+def _densest_ranges(spark, index_dir, term_pred, config,
+                    qterms: DataFrame) -> DataFrame:
+    """(query_id, range_id) — each query's densest doc range, from
+    payload-free segment metadata joined executor-side against the query
+    terms. Ties break toward the smallest range_id (max of the
+    (np, -range_id) struct), matching the old driver-side logic."""
+    meta = (_matched_segments(spark, index_dir, term_pred,
+                              config.num_shards, with_counts=True)
+            .groupBy("term_id", "range_id")
+            .agg(F.sum("n_postings").alias("np")))
+    dens = (meta.join(qterms, "term_id")
+            .groupBy("query_id", "range_id")
+            .agg(F.sum("np").alias("np")))
+    best = (dens.groupBy("query_id")
+            .agg(F.max(F.struct(
+                F.col("np"), (-F.col("range_id")).alias("nr"))).alias("b"))
+            .select("query_id",
+                    (-F.col("b").getField("nr")).cast("int")
+                    .alias("range_id")))
+    return best
+
+
 def _theta_seeds_broadcast(spark, index_dir, term_pred, config, wqt,
                            groups, segs, keyed, slots, sp,
-                           k, mode, k1, b, avgdl, topk_fn):
+                           k, mode, k1, b, avgdl, topk_fn, fp=None):
     """{query_id: θ0} for the broadcast path: pick each query's densest
-    doc range from payload-free segment metadata (aggregated per term,
-    then combined driver-side with the small wqt), score each query only
-    in the slot GROUP holding that range (a superset of the range — the
-    k-th over any doc subset is still ≤ the global k-th, so the seed
-    stays valid), take the k-th scores, seed just below them."""
-    meta = _matched_segments(spark, index_dir, term_pred,
-                             config.num_shards, with_counts=True) \
-        .groupBy("term_id", "range_id") \
-        .agg(F.sum("n_postings").alias("np")).collect()
-    by_term: dict[int, list] = {}
-    for r in meta:
-        by_term.setdefault(int(r["term_id"]), []).append(
-            (int(r["range_id"]), int(r["np"])))
-    only_groups: dict[int, int] = {}
-    for qid, terms in groups:
-        acc: dict[int, int] = {}
-        for t, _w, _idf in terms:
-            for rng, np_ in by_term.get(t, ()):
-                acc[rng] = acc.get(rng, 0) + np_
-        if acc:
-            # densest range, smallest range_id on ties (deterministic)
-            best = min(acc, key=lambda r: (-acc[r], r))
-            only_groups[qid] = slots[best % sp]
+    doc range executor-side (metadata agg ⋈ broadcast query terms —
+    the driver collects O(Q) winner rows, never the O(terms × ranges)
+    metadata), score each query only in the slot GROUP holding that
+    range (a superset of the range — the k-th over any doc subset is
+    still ≤ the global k-th, so the seed stays valid), take the k-th
+    scores, seed just below them."""
+    qterms = F.broadcast(spark.createDataFrame(
+        wqt[["query_id", "term_id"]].drop_duplicates(),
+        "query_id long, term_id long"))
+    best = _densest_ranges(spark, index_dir, term_pred, config,
+                           qterms).collect()
+    only_groups = {int(r["query_id"]): slots[int(r["range_id"]) % sp]
+                   for r in best}
     if not only_groups:
         return None
 
@@ -424,8 +531,15 @@ def _theta_seeds_broadcast(spark, index_dir, term_pred, config, wqt,
             if len(left) == 0:
                 return pd.DataFrame(
                     {"query_id": [], "doc_id": [], "score": []})
+            dl = _dl_cache_get(fp, ("g", sp, int(left["_g"].iloc[0])),
+                               right)
+            if dl is None:
+                rid = left["range_id"].iloc[0]
+                raise RuntimeError(
+                    "bm25 scoring: no doclen_seg blobs for a range "
+                    f"with matched segments (range_id={rid})")
             return _score_range_broadcast(
-                left, groups, decode_dl_blobs(right), k, mode, k1,
+                left, groups, dl, k, mode, k1,
                 b, avgdl, topk_fn, only_groups=only_groups)
 
         seed_cand = (segs.groupby("_g")
@@ -442,17 +556,42 @@ def _theta_seeds_broadcast(spark, index_dir, term_pred, config, wqt,
     return {int(r["query_id"]): float(np.nextafter(r["score"], -np.inf))
             for r in kth} or None
 
+
+def _theta_seeds_distributed(spark, index_dir, term_pred, config, qdf,
+                             joined, k, mode, k1, b, avgdl, topk_fn,
+                             n_buckets, fp=None):
+    """Executor-side θ seeding for distributed-analyzed batches: the
+    per-query densest range comes from joins (no driver collect at all),
+    the seed pass scores each query only in that range (a left-semi
+    restriction of the main join), and the k-th scores return as a
+    (query_id, theta0) DataFrame the caller broadcast-joins onto the
+    main pass (capped at SEED_MAX_QUERIES rows — single-digit MB)."""
+    best = _densest_ranges(spark, index_dir, term_pred, config,
+                           qdf.select("query_id", "term_id"))
+    seed_joined = joined.join(best, ["query_id", "range_id"],
+                              "left_semi")
+    seed_cand = _score_all_ranges(spark, index_dir, seed_joined, k, mode,
+                                  k1, b, avgdl, topk_fn, n_buckets, fp)
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    return (seed_cand.withColumn("_r", F.row_number().over(wk))
+            .filter(F.col("_r") == k)
+            .select("query_id", F.col("score").alias("theta0")))
+
+
 def _score_all_ranges(spark, index_dir, joined, k, mode, k1, b, avgdl,
-                      topk_fn, n_buckets):
+                      topk_fn, n_buckets, fp=None):
     """(range_id, qb)-partitioned scoring of a joined (segments × query
-    terms) DataFrame → candidate rows (the distributed-batch shape; θ
-    seeding applies only to driver-analyzed batches — see
-    _score_ranges_broadcast)."""
+    terms) DataFrame → candidate rows (the distributed-batch shape). An
+    optional ``theta0`` column on ``joined`` carries per-query pruning
+    seeds (see _theta_seeds_distributed)."""
 
     joined = _pin_partitions(joined, spark, "range_id", "qb")
     if mode == "bm25":
         # per-range dl blobs replicated once per query bucket (dl is a tiny
-        # fraction of segment bytes, so ×n_buckets stays negligible)
+        # fraction of segment bytes, so ×n_buckets stays negligible; the
+        # per-process decode cache is keyed by range, so every replica
+        # decodes once per executor)
         dlseg = _pin_partitions(
             spark.read.parquet(os.path.join(index_dir, "doclen_seg"))
             .select("range_id", "doc_lo", "payload")
@@ -464,7 +603,8 @@ def _score_all_ranges(spark, index_dir, joined, k, mode, k1, b, avgdl,
             if len(left) == 0:
                 return pd.DataFrame(
                     {"query_id": [], "doc_id": [], "score": []})
-            dl = decode_dl_blobs(right)
+            dl = _dl_cache_get(fp, ("r", int(left["range_id"].iloc[0])),
+                               right)
             if dl is None:
                 # bm25 must never silently fall back to avgdl: a range with
                 # matched segments but no dl blobs is a broken index

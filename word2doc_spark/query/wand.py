@@ -25,6 +25,8 @@ no broadcast that grows with corpus size.
 from __future__ import annotations
 
 import heapq
+from bisect import bisect_left
+from math import log1p
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
@@ -45,38 +47,69 @@ def get_stats() -> dict:
     return dict(STATS)
 
 
-class _Cursor:
-    """Lazy block-decoding posting cursor for one query term, chaining the
-    term's doc-ascending disjoint segments into one logical list."""
-
-    __slots__ = ("payloads", "seg_of", "offs", "lasts", "prevs",
-                 "block_ubs", "ub", "w", "idf", "bi", "docs", "tfs", "pos",
-                 "exhausted", "_nblocks")
-
-    def __init__(self, payloads, w: float, idf: float, block_ub_fn) -> None:
-        if isinstance(payloads, (bytes, bytearray)):
-            payloads = [payloads]
-        self.payloads = payloads
+def _chain_directory(payloads, cache: dict):
+    """Parsed block directory of a segment chain, memoized per task —
+    query-independent, and a batch's queries overlap heavily on hot
+    terms, so each directory parse (one walk over every block header)
+    runs once per task instead of once per query."""
+    dkey = ("dir", tuple(map(id, payloads)))
+    entry = cache.get(dkey)
+    if entry is None:
         seg_of, offs, lasts, prevs, maxtfs = [], [], [], [], []
         for si, payload in enumerate(payloads):
             o, _c, l, m = block_directory(payload)
             seg_of.append(np.full(len(o), si, dtype=np.int64))
             offs.append(o)
             lasts.append(l)
-            # delta chains restart per segment: block j's decode base is
-            # block j-1's last doc WITHIN the same segment, 0 at the start
+            # delta chains restart per segment: block j's decode base
+            # is block j-1's last doc WITHIN the same segment, 0 at
+            # the start
             p = np.zeros(len(o), dtype=np.uint64)
             p[1:] = l[:-1]
             prevs.append(p)
             maxtfs.append(m)
-        self.seg_of = np.concatenate(seg_of)
-        self.offs = np.concatenate(offs)
-        self.lasts = np.concatenate(lasts)
-        self.prevs = np.concatenate(prevs)
+        entry = (dkey,
+                 np.concatenate(seg_of).tolist(),
+                 np.concatenate(offs).tolist(),
+                 np.concatenate(lasts).tolist(),
+                 np.concatenate(prevs).tolist(),
+                 np.concatenate(maxtfs).astype(np.float64))
+        cache[dkey] = entry
+    return entry
+
+
+class _Cursor:
+    """Lazy block-decoding posting cursor for one query term, chaining the
+    term's doc-ascending disjoint segments into one logical list.
+
+    Hot-path state lives in plain python lists (directory arrays, decoded
+    block contents): the pivot loop touches one element at a time, where
+    list indexing + bisect run ~20× faster than numpy scalar indexing /
+    np scalar ufuncs (the r3 kernel spent most of its wall in exactly
+    those per-element numpy calls)."""
+
+    __slots__ = ("payloads", "seg_of", "offs", "lasts", "prevs",
+                 "block_ubs", "ub", "w", "idf", "bi", "docs", "tfs", "pos",
+                 "exhausted", "_nblocks", "cache")
+
+    def __init__(self, payloads, w: float, idf: float, block_ub_fn,
+                 cache: dict) -> None:
+        if isinstance(payloads, (bytes, bytearray)):
+            payloads = [payloads]
+        self.payloads = payloads
+        self.cache = cache
+        dkey, self.seg_of, self.offs, self.lasts, self.prevs, maxtfs_arr \
+            = _chain_directory(payloads, cache)
         self._nblocks = len(self.offs)
-        self.block_ubs = block_ub_fn(
-            np.concatenate(maxtfs).astype(np.float64))
-        self.ub = float(self.block_ubs.max())
+        # block upper bounds depend only on (chain, w, idf) — shared by
+        # every query using this term with the same query-side tf
+        ukey = ("ubs", dkey[1], w, idf)
+        got = cache.get(ukey)
+        if got is None:
+            ubs = block_ub_fn(maxtfs_arr)
+            got = (float(ubs.max()), ubs.tolist())
+            cache[ukey] = got
+        self.ub, self.block_ubs = got
         self.w = w
         self.idf = idf
         self.bi = -1
@@ -90,32 +123,37 @@ class _Cursor:
         if bi >= self._nblocks:
             self.exhausted = True
             return
-        self.docs, self.tfs = decode_block(
-            self.payloads[self.seg_of[bi]], int(self.offs[bi]),
-            int(self.prevs[bi]))
-        STATS["blocks_decoded"] += 1
+        payload = self.payloads[self.seg_of[bi]]
+        bkey = ("blk", id(payload), self.offs[bi])
+        got = self.cache.get(bkey)
+        if got is None:
+            docs, tfs = decode_block(payload, self.offs[bi],
+                                     self.prevs[bi])
+            got = (docs.tolist(), tfs.tolist())
+            self.cache[bkey] = got
+            STATS["blocks_decoded"] += 1
+        self.docs, self.tfs = got
         self.bi = bi
         self.pos = 0
 
     @property
     def cur_doc(self) -> int:
-        return int(self.docs[self.pos])
+        return self.docs[self.pos]
 
     @property
     def cur_block_ub(self) -> float:
-        return float(self.block_ubs[self.bi])
+        return self.block_ubs[self.bi]
 
     def block_last(self) -> int:
-        return int(self.lasts[self.bi])
+        return self.lasts[self.bi]
 
     def seek_block(self, target: int) -> None:
         """Advance block pointer (without decoding) until block may contain
-        target; decodes only the landing block."""
+        target; decodes only the landing block. The directory is globally
+        doc-ascending, so the scan is one bisect."""
         if self.exhausted:
             return
-        bi = self.bi
-        while bi < self._nblocks and int(self.lasts[bi]) < target:
-            bi += 1
+        bi = bisect_left(self.lasts, target, self.bi)
         if bi >= self._nblocks:
             STATS["blocks_skipped"] += self._nblocks - self.bi - 1
             self.exhausted = True
@@ -128,11 +166,11 @@ class _Cursor:
         self.seek_block(target)
         if self.exhausted:
             return
-        pos = int(np.searchsorted(self.docs, target, side="left")) \
-            if self.docs[self.pos] < target else self.pos
-        if pos >= len(self.docs):  # cannot happen: block_last >= target
-            pos = len(self.docs) - 1
-        self.pos = pos
+        if self.docs[self.pos] < target:
+            pos = bisect_left(self.docs, target, self.pos)
+            if pos >= len(self.docs):  # cannot happen: block_last >= target
+                pos = len(self.docs) - 1
+            self.pos = pos
 
     def advance(self) -> None:
         self.pos += 1
@@ -140,7 +178,7 @@ class _Cursor:
             self._load_block(self.bi + 1)
 
     def cur_tf(self) -> float:
-        return float(self.tfs[self.pos])
+        return self.tfs[self.pos]
 
 
 def wand_topk(
@@ -152,6 +190,7 @@ def wand_topk(
     avgdl: float,
     dl,
     theta0: float = -1.0,
+    cache: dict | None = None,
 ) -> list[tuple[int, float]]:
     """One query's exact top-k via block-max WAND.
 
@@ -164,20 +203,41 @@ def wand_topk(
     densest range's k-th score). Docs scoring ≥ the true global k-th can
     never be pruned by it, so results stay exact; ranges whose best docs
     fall below the seed emit fewer (never wrong) candidates.
+
+    cache: optional per-TASK dict shared across a batch's queries —
+    parsed block directories and decoded blocks are query-independent,
+    so hot terms decode once per task instead of once per query.
     """
+    if cache is None:
+        cache = {}
+    live = [(w, idf, [p] if isinstance(p, (bytes, bytearray)) else p)
+            for w, idf, p in term_rows if w > 0.0]
+    if theta0 > 0.0 and live:
+        # seeded short-circuit: if the sum of chain-level upper bounds
+        # cannot beat θ0, no doc in this range can enter the global
+        # top-k — skip cursor construction and block decoding entirely.
+        # This is what makes a seeded selective query (rare term + dense
+        # term) O(1) in every range but the rare one.
+        total_ub = 0.0
+        for w, idf, payloads in live:
+            mx = float(_chain_directory(payloads, cache)[5].max())
+            if mode == "drqa":
+                total_ub += w * idf * log1p(mx)
+            else:
+                total_ub += w * (mx * (k1 + 1.0)) / (mx + k1 * (1.0 - b))
+        if total_ub <= theta0:
+            return []
     cursors: list[_Cursor] = []
-    for w, idf, payload in term_rows:
-        if w <= 0.0:
-            continue
+    for w, idf, payload in live:
         if mode == "drqa":
             cursors.append(_Cursor(
                 payload, w, idf,
-                lambda mx, w=w, idf=idf: w * idf * np.log1p(mx)))
+                lambda mx, w=w, idf=idf: w * idf * np.log1p(mx), cache))
         else:
             cursors.append(_Cursor(
                 payload, w, idf,
                 lambda mx, w=w: w * (mx * (k1 + 1.0)) /
-                                (mx + k1 * (1.0 - b))))
+                                (mx + k1 * (1.0 - b)), cache))
     cursors = [c for c in cursors if not c.exhausted]
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
     theta = theta0
@@ -185,7 +245,7 @@ def wand_topk(
     def score_at(c: _Cursor, doc: int) -> float:
         tf = c.cur_tf()
         if mode == "drqa":
-            return c.w * c.idf * np.log1p(tf)
+            return c.w * c.idf * log1p(tf)
         d = float(dl[doc]) if dl is not None else avgdl
         return c.w * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * d / avgdl))
 

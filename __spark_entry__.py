@@ -73,6 +73,17 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _docs_with_planted_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ a re-keyed copy of its first 25 docs — the sf fixtures
+    contain no exact duplicates, so an oracle check on the raw table only
+    proves both engines return nothing; the planted copies make the
+    group/survivor semantics observable (keep = min doc_id)."""
+    docs = _docs(spark, sf_dir)
+    copies = (docs.filter(F.col("doc_id") < 25)
+                  .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000)))
+    return docs.unionByName(copies)
+
+
 def _tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (TS.exploded_tokens(_docs(spark, sf_dir))
             .groupBy("doc_id", F.col("token").alias("term"))
@@ -217,7 +228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- training-data ops: dedup ---
     q["dedup_exact"] = lambda s, d: (
-        D.exact_duplicates(_docs(s, d)).select("fp", "n_dups", "keep_doc_id"))
+        D.exact_duplicates(_docs_with_planted_dupes(s, d))
+        .select("fp", "n_dups", "keep_doc_id"))
     q["minhash_sigs"] = lambda s, d: D.minhash_signatures(
         _docs(s, d), num_perm=8, shingle_n=3)
     q["ngram_jaccard"] = lambda s, d: D.ngram_jaccard_pairs(
@@ -328,7 +340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the driver's canonicalizer sorts columns — emit sortable scalars
         # (md5 of the 6-dp-rounded vector), not a raw array<double>
         return feats.select(
-            "media_id", "kind",
+            "media_id", "kind", "decoder",
             F.md5(F.concat_ws(",", F.transform(
                 F.col("features"),
                 lambda x: F.round(x, 6).cast("string")))).alias("feat_hash"))
@@ -618,8 +630,12 @@ FROM c"""
 SELECT doc_id, md5(array_to_string({_TOK}, ' ')) AS fp FROM documents"""
 
     o["dedup_exact"] = f"""
-WITH fp AS (
-  SELECT doc_id, md5(array_to_string({_TOK}, ' ')) AS fp FROM documents
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 25
+), fp AS (
+  SELECT doc_id, md5(array_to_string({_TOK}, ' ')) AS fp FROM docs2
 )
 SELECT fp, count(*) AS n_dups, min(doc_id) AS keep_doc_id
 FROM fp GROUP BY fp HAVING count(*) > 1"""

@@ -32,6 +32,18 @@ def _burn(k):
     return s
 
 
+def _mem_burn(k):
+    """STREAM-triad-style memory-bandwidth load: each call moves ~3 GB
+    through the memory bus (2 reads + 1 allocate-write of 128 MB × k)."""
+    import numpy as np
+    a = np.ones(16_000_000)
+    b = np.ones(16_000_000)
+    s = 0.0
+    for _ in range(k):
+        s += float((a + b)[0])
+    return s
+
+
 def _run(cmd, env=None):
     out = subprocess.run(cmd, env=env or dict(os.environ),
                          capture_output=True, text=True)
@@ -82,6 +94,26 @@ def main():
                 t0 = _t.time()
                 p.map(_burn, [work] * procs * 4)
                 return procs * 4 * work / (_t.time() - t0)
+
+        lo = max(run(n) for _ in range(3))
+        hi = max(run(4 * n) for _ in range(3))
+        return hi / (4.0 * lo)
+
+    def _membw_probe():
+        """Memory-STREAMING scaling ceiling: the same numpy triad loop at
+        N and 4N processes. A single box has ONE memory bus — bandwidth
+        saturates long before 4N cores — so phases whose remaining work
+        is byte movement (shuffle, cache materialization, columnar IO)
+        are bounded by THIS ratio here, while a real 4N-executor cluster
+        multiplies buses 4× along with cores."""
+        import multiprocessing as mp
+        import time as _t
+
+        def run(procs, work=4):
+            with mp.Pool(procs) as p:
+                t0 = _t.time()
+                p.map(_mem_burn, [work] * procs * 2)
+                return procs * 2 * work / (_t.time() - t0)
 
         lo = max(run(n) for _ in range(3))
         hi = max(run(4 * n) for _ in range(3))
@@ -147,10 +179,16 @@ def main():
          lo.get("n_queries_fast", n_q * 20), "q/s"),
         ("batch query fast-DAAT (bm25)", "query_bm25_s",
          lo.get("n_queries_bm25", n_q * 4), "q/s"),
+        ("batch query WAND selective (rare+dense, k=1)", "query_wand_sel_s",
+         lo.get("n_queries_sel", n_q * 10), "q/s"),
+        ("batch query fast selective (same workload)", "query_fast_sel_s",
+         lo.get("n_queries_sel", n_q * 10), "q/s"),
         ("batch query exact join (drqa)", "query_exact_s", n_q, "q/s"),
     ]
     print("measuring hardware CPU-scaling ceiling ...", file=sys.stderr)
     hw_eff = _hw_probe()
+    print("measuring memory-bandwidth scaling ceiling ...", file=sys.stderr)
+    membw_eff = _membw_probe()
     rows = []
     for label, key, units, unit in phases:
         if key not in lo or key not in hi:
@@ -177,12 +215,17 @@ def main():
         "multi-executor scaling; partition counts scale with cores",
         "(shuffle partitions = 4×cores) as they would on a cluster.",
         "",
-        f"**Hardware ceiling**: a pure-python multiprocessing busy loop on",
+        f"**Hardware ceilings**: a pure-python multiprocessing busy loop on",
         f"this VM scales at only **{hw_eff:.2f}** efficiency from {n} to",
         f"{4*n} processes (SMT topology + hypervisor steal + shared memory",
-        "bus) — no workload can exceed it here; a real 4N-executor cluster",
-        "adds 4× of every hardware resource. The normalized column divides",
-        "engine efficiency by this measured ceiling.",
+        "bus) — no CPU-bound workload can exceed it here. A numpy",
+        "STREAM-triad loop (pure byte movement) scales at only",
+        f"**{membw_eff:.2f}**: the single memory bus saturates long before",
+        f"{4*n} cores, so phases whose remaining work is data movement",
+        "(shuffle, cache materialization, columnar IO) are bounded by",
+        "THAT number on this box. A real 4N-executor cluster adds 4× of",
+        "every hardware resource — buses and disks included. The",
+        "normalized column divides engine efficiency by the CPU ceiling.",
         "",
         f"| phase | unit | local[{n}] | local[{4*n}] | efficiency (raw) |"
         " efficiency / hw ceiling |",
@@ -207,8 +250,8 @@ def main():
     ]
     subs = []
     if lo.get("stage_sub") and hi.get("stage_sub"):
-        for name in ("extract_count", "analyze_stage", "doclen",
-                     "doclen_seg"):
+        for name in ("url_bounds", "py_warmup", "extract_count",
+                     "analyze_stage", "doclen", "doclen_seg"):
             a = lo["stage_sub"].get(name)
             b = hi["stage_sub"].get(name)
             if a and b:
@@ -228,25 +271,30 @@ def main():
             md.append(f"| {name} | {a:.1f} | {b:.1f} | {eff:.2f} |")
         md += [
             "",
-            "Round 3 made the build ~2× faster in ABSOLUTE terms (the",
-            "vectorized batch segment encoder removed millions of per-run",
-            "python calls), which deliberately LOWERS the build efficiency",
-            "ratio: the python CPU work was the part that scaled with",
-            "cores, and what remains (cache materialization, the posting",
-            "shuffle, parquet IO) is memory-bus/disk-bound — near-identical",
-            "wall at 8 and 32 threads on this single-bus VM. The CPU-bound",
-            "sub-phase that remains (analysis) scales at ~0.6 raw, in line",
-            "with the measured process ceiling. A real 4N-executor cluster",
-            "multiplies buses and disks 4× along with cores; a single box",
-            "cannot show that, so we report throughput alongside the ratio",
-            "and decline to keep slower code for a prettier ratio.",
+            "Round 4 packed the staged postings into delta+varint numpy",
+            "blobs (the exploded-triple Arrow crossings and the JVM sort",
+            "are gone — segment encode fell ~3× absolute) and overlapped",
+            "python-worker spin-up with the JVM-only bounds sampling",
+            "(`py_warmup` ≈ 0 when fully hidden). The sub-phases that",
+            "remain flat (`extract_count`: 1 GB html scan + extracted-text",
+            "shuffle + cache write; the staged-blob IO inside encode) are",
+            "byte-movement-bound — compare them against the memory-",
+            "bandwidth ceiling above, which is what a single shared bus",
+            "gives ANY workload at 4N threads. The CPU-bound analysis",
+            "sub-phase scales at the process ceiling. A real 4N-executor",
+            "cluster multiplies buses and disks 4× along with cores; a",
+            "single box cannot show that, so we report throughput",
+            "alongside the ratio and decline to keep slower code for a",
+            "prettier ratio.",
             "",
         ]
     wall_keys = [("index build", "build_s"),
                  ("query WAND", "query_wand_s"),
                  ("query exact", "query_exact_s"),
                  ("query fast-DAAT", "query_fast_s"),
-                 ("query fast bm25", "query_bm25_s")]
+                 ("query fast bm25", "query_bm25_s"),
+                 ("query WAND selective", "query_wand_sel_s"),
+                 ("query fast selective", "query_fast_sel_s")]
     md += [
         "## Wall-times (sec)",
         "",

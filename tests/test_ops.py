@@ -303,3 +303,90 @@ def test_bpe_ish_token_counts(spark):
     assert rows[0]["pieces_per_word"] == 3.0
     assert rows[1]["n_pieces"] == 0 and rows[1]["n_words"] == 0
     assert rows[2]["n_pieces"] == 0 and rows[2]["n_words"] == 0
+
+
+def test_lsh_bucket_pandas_identity(vectors):
+    """The Arrow-matmul bucket fallback produces the same buckets as the
+    JVM literal expression, and the plan switch triggers on the literal
+    budget (mapInPandas plan, no per-plane literal arrays)."""
+    import word2doc_spark.ops.similarity as S2
+    planes = S.random_hyperplanes(16, 6, seed=3)
+    lit = {r["vec_id"]: r["bucket"]
+           for r in S.lsh_bucket(vectors, planes, "vec_id").collect()}
+    pdp = {r["vec_id"]: r["bucket"]
+           for r in S2._lsh_bucket_pandas(vectors, planes, "vec_id",
+                                          "embedding").collect()}
+    assert lit == pdp and len(lit) > 0
+    # budget switch: shrink the literal budget and check the plan path
+    old = S2._CENT_LITERAL_MAX_FLOATS
+    try:
+        S2._CENT_LITERAL_MAX_FLOATS = 4
+        df = S.lsh_bucket(vectors, planes, "vec_id")
+        explain = df._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in explain
+        got = {r["vec_id"]: r["bucket"] for r in df.collect()}
+        assert got == lit
+    finally:
+        S2._CENT_LITERAL_MAX_FLOATS = old
+
+
+def _bmp_fixture() -> bytes:
+    """2×2 24-bpp bottom-up BMP, rows padded to 4 bytes."""
+    import struct
+    px = (bytes([255, 0, 0]) + bytes([0, 255, 0]) + b"\x00\x00"   # bottom
+          + bytes([0, 0, 255]) + bytes([255, 255, 255]) + b"\x00\x00")
+    dib = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(px),
+                      2835, 2835, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(px), 0, 0, 54)
+    return hdr + dib + px
+
+
+def _wav_fixture() -> bytes:
+    """Mono 16-bit PCM, 8 kHz, 4 samples."""
+    import struct
+    data = struct.pack("<4h", 0, 16384, -16384, 32767)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def test_bmp_decode_real():
+    img = M.decode_bmp_pixels(_bmp_fixture())
+    # stored bottom-up → returned top-down: row 0 = (0,0,255),(255,255,255)
+    assert img.shape == (2, 2, 3)
+    assert img[0, 0].tolist() == [0, 0, 255]      # BGR: red pixel
+    assert img[0, 1].tolist() == [255, 255, 255]
+    assert img[1, 0].tolist() == [255, 0, 0]      # BGR: blue pixel
+    assert img[1, 1].tolist() == [0, 255, 0]
+    assert M.decode_bmp_pixels(b"BMnot-a-real-bmp") is None
+
+
+def test_wav_decode_real():
+    got = M.decode_wav_samples(_wav_fixture())
+    assert got is not None
+    samples, rate = got
+    assert rate == 8000 and samples.shape == (4, 1)
+    assert abs(samples[1, 0] - 0.5) < 1e-9
+    assert abs(samples[2, 0] + 0.5) < 1e-9
+    assert M.decode_wav_samples(b"RIFFjunkWAVE") is None
+
+
+def test_decode_features_real_formats_strict(spark):
+    """BMP/WAV payloads decode for REAL — strict mode accepts them and
+    the decoder column distinguishes real from fake."""
+    rows = [
+        (1, "image", _bmp_fixture(), "image/bmp", 2, 2, None),
+        (2, "audio", _wav_fixture(), "audio/wav", None, None, 1),
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in
+           M.decode_features(media, strict=True).collect()}
+    assert got[1]["decoder"] == "bmp"
+    assert got[2]["decoder"] == "wav"
+    for r in got.values():
+        n = sum(x * x for x in r["features"])
+        assert abs(n - 1.0) < 1e-9
+    # deterministic + distinct from the fake for the same bytes
+    fake = M._fake_decode(_bmp_fixture())
+    assert list(fake) != got[1]["features"]

@@ -82,15 +82,51 @@ def _empty_topk(spark) -> DataFrame:
 
 def lsh_bucket(df: DataFrame, planes: np.ndarray, id_col: str,
                emb_col: str = "embedding") -> DataFrame:
-    """Sign-of-projection bucket id per vector, built with zip_with/aggregate
-    (JVM) — one bucket per vector (single hash table; multiple tables =
-    union of calls with different seeds)."""
+    """Sign-of-projection bucket id per vector — one bucket per vector
+    (single hash table; multiple tables = union of calls with different
+    seeds). Small plane matrices are baked as JVM literal expressions
+    (zip_with/aggregate, exact-SQL-twin surface); past the literal budget
+    (production widths: 1k-4k dims × 16 planes would be a 16k-64k-literal
+    expression tree) an Arrow-batched numpy matmul computes the same sign
+    bits, still shuffle-free."""
+    if planes.size > _CENT_LITERAL_MAX_FLOATS:
+        return _lsh_bucket_pandas(df, planes, id_col, emb_col)
     bucket = F.lit(0)
     for i, plane in enumerate(planes):
         arr = F.array(*[F.lit(float(x)) for x in plane])
         proj = _dot(F.col(emb_col).cast("array<double>"), arr)
         bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return df.select(F.col(id_col), F.col(emb_col), bucket.alias("bucket"))
+
+
+def _lsh_bucket_pandas(df: DataFrame, planes: np.ndarray, id_col: str,
+                       emb_col: str) -> DataFrame:
+    """Arrow-batched twin of the literal ``lsh_bucket`` expression: one
+    matmul per batch against the process-held plane matrix. Sign bits
+    use the same strict ``proj > 0`` rule; numpy's dot can differ from
+    the JVM fold in the last ulp only when a projection sits at exactly
+    0.0, a measure-zero event for random hyperplanes (identity vs the
+    literal path is pytest-gated on real data)."""
+    import pandas as pd
+
+    pm = planes.astype(np.float64).T  # dim × n_planes
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+    emb_type = dict(df.dtypes)[emb_col]
+    schema = f"{id_col} long, {emb_col} {emb_type}, bucket long"
+
+    def run(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            emb = np.array([np.asarray(v, dtype=np.float64)
+                            for v in pdf[emb_col]])
+            proj = emb @ pm
+            buckets = ((proj > 0) @ weights).astype(np.int64)
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                emb_col: pdf[emb_col],
+                                "bucket": buckets})
+
+    return df.select(id_col, emb_col).mapInPandas(run, schema=schema)
 
 
 def train_centroids(vectors: DataFrame,
@@ -268,7 +304,13 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     else:
         probes = _closest_cells_pandas(q, centroids, "query_vec_id", "qe",
                                        n_probe)
-    cand = (assignment.join(F.broadcast(probes), "cell_id")
+    # broadcast the probe side only when the query batch is known small
+    # (driver-local relation); probes carry full query embeddings ×
+    # n_probe, so force-broadcasting an arbitrary distributed batch could
+    # exceed the broadcast limit where a shuffle join degrades gracefully
+    # — let AQE pick the strategy there
+    probe_side = F.broadcast(probes) if queries.isLocal() else probes
+    cand = (assignment.join(probe_side, "cell_id")
             .filter(F.col("vec_id") != F.col("query_vec_id")))
     scored = cand.select(
         "query_vec_id", F.col("vec_id").alias("neighbor_id"),

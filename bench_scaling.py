@@ -21,6 +21,7 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 
@@ -42,6 +43,57 @@ def _mem_burn(k):
     for _ in range(k):
         s += float((a + b)[0])
     return s
+
+
+def _wand_depth_probe():
+    """Kernel-level WAND-vs-full-scan crossover in per-range list depth.
+
+    One selective query (rare term, df=400 + dense term at the given df)
+    against a single doc range, k=3 — the per-QUERY kernel cost that the
+    range tasks pay. At the 500k/128-range bench, per-range dense lists
+    are ~10^3 postings and the vectorized scan wins; at the 10^12-doc
+    sizing (range_width 32M), per-range lists reach 10^5-10^6+ where
+    block-max skipping wins by an order of magnitude. Pure numpy/python,
+    no Spark: rows of (depth, wand_ms, fast_ms, blocks_decoded,
+    blocks_skipped)."""
+    import numpy as np
+    sys.path.insert(0, REPO)
+    from word2doc_spark.index.postings import encode_postings
+    from word2doc_spark.query.wand import wand_topk, reset_stats, get_stats
+    from word2doc_spark.query.fast import fast_topk
+
+    rng = np.random.default_rng(3)
+    n_docs = 32_000_000
+    rare_docs = np.sort(rng.choice(n_docs, 400, replace=False)).astype(
+        np.uint64)
+    rare = encode_postings(rare_docs,
+                           rng.integers(1, 6, 400).astype(np.uint64), 128)
+    rows = []
+    for df in (1_000, 12_500, 100_000, 1_000_000):
+        docs = np.sort(rng.choice(n_docs, df, replace=False)).astype(
+            np.uint64)
+        dense = encode_postings(docs,
+                                rng.integers(1, 8, df).astype(np.uint64),
+                                128)
+        term_rows = [(7.1, 7.1, [rare]), (0.9, 0.9, [dense])]
+        cache: dict = {}
+        reps = max(3, 2_000_000 // df)
+        t0 = time.time()
+        for _ in range(reps):
+            fast_topk(term_rows, 3, "drqa", 1.2, .75, 100., None,
+                      cache=cache)
+        fast_ms = (time.time() - t0) / reps * 1000
+        reset_stats()
+        t0 = time.time()
+        for _ in range(reps):
+            wand_topk(term_rows, 3, "drqa", 1.2, .75, 100., None,
+                      cache=cache)
+        wand_ms = (time.time() - t0) / reps * 1000
+        st = get_stats()
+        rows.append((df, wand_ms, fast_ms,
+                     st["blocks_decoded"] // reps,
+                     st["blocks_skipped"] // reps))
+    return rows
 
 
 def _run(cmd, env=None):
@@ -288,6 +340,26 @@ def main():
             "prettier ratio.",
             "",
         ]
+    print("measuring WAND depth crossover ...", file=sys.stderr)
+    depth_rows = _wand_depth_probe()
+    md += [
+        "## WAND vs full-scan: per-range list-depth crossover (kernel)",
+        "",
+        "Per-query kernel cost of ONE selective query (rare term df=400 +",
+        "dense term at the given df) against a single doc range, k=3 — no",
+        "Spark in the loop. The end-to-end selective phase above runs at",
+        "the 500k/128-range layout where per-range dense lists are ~10^3",
+        "postings and the cached vectorized scan wins; the 10^12-doc",
+        "sizing (range_width 32M docs) puts per-range lists at 10^5-10^6+,",
+        "where block-max skipping wins by an order of magnitude — this is",
+        "the regime WAND serves:",
+        "",
+        "| dense df (per range) | WAND ms/q | full-scan ms/q |"
+        " blocks decoded | blocks skipped |",
+        "|---|---|---|---|---|",
+    ] + [f"| {df:,} | {w:.2f} | {f:.2f} | {bd} | {bs} |"
+         for df, w, f, bd, bs in depth_rows] + [""]
+
     wall_keys = [("index build", "build_s"),
                  ("query WAND", "query_wand_s"),
                  ("query exact", "query_exact_s"),

@@ -146,7 +146,7 @@ def main():
 
             if "fast" in only:
                 # fast-DAAT phase: large mixed batch
-                n_fast = args.n_queries * 20
+                n_fast = args.n_queries * 80
                 fq = spark.createDataFrame(scaling_queries(n_fast),
                                            "query_id long, query string")
                 out["n_queries_fast"] = n_fast
@@ -158,7 +158,7 @@ def main():
             if "bm25" in only:
                 # bm25 phase (the north metric's scorer): fast path + the
                 # per-range dl-blob cogroup, mid-sized batch
-                n_bm25 = args.n_queries * 4
+                n_bm25 = args.n_queries * 16
                 bq = spark.createDataFrame(scaling_queries(n_bm25),
                                            "query_id long, query string")
                 out["n_queries_bm25"] = n_bm25
@@ -170,7 +170,7 @@ def main():
             if "selective" in only:
                 # selective phase: WAND's pruning regime vs the full scan
                 # on the SAME workload — rare+head queries, k=3
-                n_sel = args.n_queries * 10
+                n_sel = args.n_queries * 40
                 sq = spark.createDataFrame(
                     selective_queries(n_sel),
                     "query_id long, query string")

@@ -53,6 +53,11 @@ _ISIN_PRUNE_LIMIT = 20_000
 # batches must not funnel through the driver)
 DISTRIBUTED_ANALYSIS_THRESHOLD = 50_000
 
+# within driver mode, batches above this size tokenize executor-side and
+# collect only the weighted-terms result (perf crossover, not a safety
+# bound — see prepare_weighted_terms)
+_DRIVER_ANALYZE_MAX = 4096
+
 
 def analyze_queries(queries: DataFrame, config: IndexConfig) -> DataFrame:
     """Distributed variant: (query_id, query) → (query_id, term_id, qtf);
@@ -175,8 +180,8 @@ def weighted_query_terms(spark: SparkSession, index_dir: str,
 
 
 def weighted_query_terms_distributed(spark: SparkSession, index_dir: str,
-                                     qt: DataFrame,
-                                     n_docs: int) -> DataFrame:
+                                     qt: DataFrame, n_docs: int,
+                                     with_df: bool = False) -> DataFrame:
     """Distributed twin of ``weighted_query_terms``: join the analyzed
     query terms against the ``terms/`` stats table executor-side instead
     of collecting per-term stats to the driver. Terms absent from the
@@ -189,12 +194,15 @@ def weighted_query_terms_distributed(spark: SparkSession, index_dir: str,
         F.lit(0.0),
         F.log((F.lit(float(n_docs)) - F.col("df") + 0.5)
               / (F.col("df") + 0.5)))
+    cols = ["query_id", "term_id", "w", "idf"]
+    if with_df:
+        cols.append("df")
     return (qt.join(stats, "term_id")
               .withColumn("idf", idf)
               .withColumn("w", F.log1p(F.col("qtf").cast("double"))
                           * F.col("idf"))
               .filter(F.col("w") > 0.0)
-              .select("query_id", "term_id", "w", "idf"))
+              .select(*cols))
 
 
 def resolve_analysis_mode(queries: DataFrame, analysis: str) -> str:
@@ -238,13 +246,33 @@ def prepare_weighted_terms(spark: SparkSession, index_dir: str,
     emptiness propagates lazily)."""
     mode = resolve_analysis_mode(queries, analysis)
     if mode == "driver":
-        qt = analyze_queries_driver(queries, config, strict=strict)
-        if qt.empty:
-            return None, None, None, 0
-        wqt = weighted_query_terms(spark, index_dir, qt, n_docs,
-                                   config.num_shards)
-        if wqt.empty:
-            return None, None, None, 0
+        n_hint = queries.limit(_DRIVER_ANALYZE_MAX + 1).count()
+        if n_hint > _DRIVER_ANALYZE_MAX:
+            # big-but-driver-sized batch: tokenization+weighting run
+            # EXECUTOR-side (they scale with cores; serial driver
+            # analysis of a 20k-query batch measured 2.6 s flat at any
+            # parallelism) and only the SMALL weighted-terms result —
+            # O(Q × matched terms) rows — collects back, preserving the
+            # broadcast-closure scoring shape
+            from pyspark import StorageLevel
+            qt = analyze_queries(queries, config)
+            if strict:
+                qt = qt.persist(StorageLevel.MEMORY_AND_DISK)
+                _strict_check_distributed(queries, qt)
+            wqt = weighted_query_terms_distributed(
+                spark, index_dir, qt, n_docs, with_df=True).toPandas()
+            if strict:
+                qt.unpersist()
+            if wqt.empty:
+                return None, None, None, 0
+        else:
+            qt = analyze_queries_driver(queries, config, strict=strict)
+            if qt.empty:
+                return None, None, None, 0
+            wqt = weighted_query_terms(spark, index_dir, qt, n_docs,
+                                       config.num_shards)
+            if wqt.empty:
+                return None, None, None, 0
         qdf = spark.createDataFrame(
             wqt[["query_id", "term_id", "w", "idf"]],
             "query_id long, term_id long, w double, idf double")

@@ -59,36 +59,50 @@ def fast_topk(
     for w, idf, payload in term_rows:
         if w <= 0.0:
             continue
-        ckey = None
+        pid = (id(payload) if isinstance(payload, (bytes, bytearray))
+               else tuple(map(id, payload)))
+        # per-(chain, w, idf) CONTRIBUTION arrays are also shared across
+        # queries (same term + same query-side tf → identical per-doc
+        # scores; dl is task-constant) — cache them so a query's marginal
+        # cost is just concat + accumulate
         if cache is not None:
-            ckey = ("chain",
-                    id(payload) if isinstance(payload, (bytes, bytearray))
-                    else tuple(map(id, payload)))
+            ckey = ("contrib", pid, w, idf, mode)
             got = cache.get(ckey)
         else:
             got = None
         if got is None:
-            d_raw, t_raw = _decode_chain(payload)
-            got = (d_raw.astype(np.int64), t_raw.astype(np.float64))
+            chain = cache.get(("chain", pid)) if cache is not None else None
+            if chain is None:
+                d_raw, t_raw = _decode_chain(payload)
+                chain = (d_raw.astype(np.int64),
+                         t_raw.astype(np.float64))
+                if cache is not None:
+                    cache[("chain", pid)] = chain
+            docs, tfs = chain
+            if mode == "drqa":
+                contrib = (w * idf) * np.log1p(tfs)
+            else:
+                d = np.asarray(dl[docs], dtype=np.float64) \
+                    if dl is not None else np.full(docs.size, avgdl)
+                contrib = w * (tfs * (k1 + 1.0)) / (
+                    tfs + k1 * (1.0 - b + b * d / avgdl))
+            got = (docs, contrib)
             if cache is not None:
                 cache[ckey] = got
-        docs, tfs = got
-        if mode == "drqa":
-            contrib = (w * idf) * np.log1p(tfs)
-        else:
-            d = np.asarray(dl[docs], dtype=np.float64) \
-                if dl is not None else np.full(docs.size, avgdl)
-            contrib = w * (tfs * (k1 + 1.0)) / (
-                tfs + k1 * (1.0 - b + b * d / avgdl))
-        doc_parts.append(docs)
-        score_parts.append(contrib)
+        doc_parts.append(got[0])
+        score_parts.append(got[1])
     if not doc_parts:
         return []
     all_docs = np.concatenate(doc_parts)
     all_scores = np.concatenate(score_parts)
-    uniq, inv = np.unique(all_docs, return_inverse=True)
-    acc = np.zeros(uniq.size, dtype=np.float64)
-    np.add.at(acc, inv, all_scores)
+    # sort + reduceat accumulate (np.unique + np.add.at measured ~3× the
+    # cost at typical per-range sizes — add.at is the slow path)
+    order = np.argsort(all_docs, kind="stable")
+    sdocs = all_docs[order]
+    bounds = np.flatnonzero(
+        np.concatenate(([True], sdocs[1:] != sdocs[:-1])))
+    uniq = sdocs[bounds]
+    acc = np.add.reduceat(all_scores[order], bounds)
     if uniq.size > k:
         # keep every doc scoring ≥ the k-th score so boundary ties resolve
         # by doc_id in the full sort below (exact-path tie semantics)

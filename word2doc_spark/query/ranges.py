@@ -59,6 +59,14 @@ from word2doc_spark.query.exact import (
 )
 
 CAND_SCHEMA = "query_id long, doc_id long, score double"
+# broadcast-shape candidates travel as numpy-packed float64 (query_id,
+# doc_id, score) triples bucketed by query — a 20k-query × 128-range × k
+# batch emits ~10^7 candidate ROWS whose Arrow emission + shuffle +
+# window cost more than the scoring itself (same lesson as the build's
+# blob staging); packed, the merge moves ~10^3 opaque rows. float64
+# holds ids exactly up to 2^53 (enforced at pack time).
+CAND_BLOB_SCHEMA = "qb int, blob binary"
+TOPK_SCHEMA = "query_id long, rank int, doc_id long, score double"
 
 # θ seeding collects O(Q) (id, float) rows to the driver — safe far past
 # the analysis threshold, but skip it for truly enormous batches
@@ -285,9 +293,11 @@ def search_doc_partitioned(
         # row per (query, segment), so a 500-query batch over shared hot
         # terms shipped each hot segment's payload ~500× through the
         # shuffle + Arrow — measured 4× wall on the 500k scaling bench.)
-        cand = _score_ranges_broadcast(
+        # Candidates come back packed and already globally top-k'd.
+        topk = _score_ranges_broadcast(
             spark, index_dir, term_pred, config, wqt, k, mode, k1, b,
             avgdl, topk_fn, do_seed, fp)
+        return attach_urls(spark, index_dir, topk)
     else:
         # distributed batch: query table is executor-resident; fall back
         # to the join shape, sub-bucketed by query for task balance
@@ -312,11 +322,11 @@ def search_doc_partitioned(
         cand = _score_all_ranges(spark, index_dir, joined, k, mode, k1, b,
                                  avgdl, topk_fn, n_buckets, fp)
 
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("doc_id"))
-    topk = (cand.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k))
-    return attach_urls(spark, index_dir, topk)
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id"))
+        topk = (cand.withColumn("rank", F.row_number().over(w))
+                    .filter(F.col("rank") <= k))
+        return attach_urls(spark, index_dir, topk)
 
 
 # DataFrames persisted for a seed+main job pair; unpersisted at the START
@@ -350,7 +360,7 @@ def _wqt_groups(wqt: pd.DataFrame) -> list:
 
 def _score_range_broadcast(pdf: pd.DataFrame, groups, dl, k, mode, k1, b,
                            avgdl, topk_fn, seeds=None,
-                           only_groups=None) -> pd.DataFrame:
+                           only_groups=None, n_qb: int = 32) -> pd.DataFrame:
     """Score one slot-group of doc ranges for every query in ``groups``.
     pdf holds each matched segment of the group's ranges exactly once
     (term_id, doc_lo, payload); per-term segment chains are built with one
@@ -387,11 +397,70 @@ def _score_range_broadcast(pdf: pd.DataFrame, groups, dl, k, mode, k1, b,
             out_q.append(qid)
             out_d.append(doc)
             out_s.append(score)
+    return _pack_candidates(out_q, out_d, out_s, n_qb)
+
+
+def _pack_candidates(out_q, out_d, out_s, n_qb: int) -> pd.DataFrame:
+    """Candidate (query_id, doc_id, score) lists → (qb, blob) rows of
+    packed float64 triples, bucketed by query_id % n_qb."""
+    n = len(out_q)
+    if n == 0:
+        return pd.DataFrame({"qb": pd.Series([], dtype="int32"),
+                             "blob": pd.Series([], dtype=object)})
+    a = np.empty((n, 3), dtype=np.float64)
+    a[:, 0] = out_q
+    a[:, 1] = out_d
+    a[:, 2] = out_s
+    if a[:, 1].max() >= float(1 << 53):
+        raise OverflowError("doc_id exceeds exact float64 range (2^53)")
+    qb = (np.asarray(out_q, dtype=np.int64) % n_qb).astype(np.int64)
+    order = np.argsort(qb, kind="stable")
+    a, qb = a[order], qb[order]
+    bounds = np.flatnonzero(np.concatenate(([True], qb[1:] != qb[:-1])))
+    ends = np.concatenate((bounds[1:], [n]))
     return pd.DataFrame({
-        "query_id": np.asarray(out_q, dtype=np.int64),
-        "doc_id": np.asarray(out_d, dtype=np.int64),
-        "score": np.asarray(out_s, dtype=np.float64),
+        "qb": qb[bounds].astype(np.int32),
+        "blob": [a[s:e].tobytes() for s, e in zip(bounds, ends)],
     })
+
+
+def _merge_topk_blobs(blobs: DataFrame, k: int, sp: int,
+                      slot_arr) -> DataFrame:
+    """Packed candidate blobs → exact global top-k rows (query_id, rank,
+    doc_id, score). All of a query's candidates share a qb bucket, so one
+    vectorized lexsort + boundary walk per merge task replaces the
+    row-explosion + window (score desc, doc_id asc — identical tie
+    semantics, differential-tested)."""
+    routed = (blobs.withColumn(
+        "_mq", F.element_at(slot_arr, F.col("qb") + 1))
+        .repartition(sp, "_mq").select("blob"))
+
+    def run(it):
+        arrs = []
+        for pdf in it:
+            arrs.extend(np.frombuffer(b, dtype=np.float64).reshape(-1, 3)
+                        for b in pdf["blob"])
+        if not arrs:
+            return
+        a = np.concatenate(arrs) if len(arrs) > 1 else arrs[0]
+        if a.size == 0:
+            return
+        qid = a[:, 0]
+        order = np.lexsort((a[:, 1], -a[:, 2], qid))
+        a, qid = a[order], qid[order]
+        gstart = np.flatnonzero(
+            np.concatenate(([True], qid[1:] != qid[:-1])))
+        glen = np.diff(np.concatenate((gstart, [qid.size])))
+        pos = np.arange(qid.size) - np.repeat(gstart, glen)
+        keep = pos < k
+        yield pd.DataFrame({
+            "query_id": qid[keep].astype(np.int64),
+            "rank": (pos[keep] + 1).astype(np.int32),
+            "doc_id": a[keep, 1].astype(np.int64),
+            "score": a[keep, 2],
+        })
+
+    return routed.mapInPandas(run, TOPK_SCHEMA)
 
 
 def _score_ranges_broadcast(spark, index_dir, term_pred, config, wqt,
@@ -448,8 +517,7 @@ def _score_ranges_broadcast(spark, index_dir, term_pred, config, wqt,
 
             def run(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
                 if len(left) == 0:
-                    return pd.DataFrame(
-                        {"query_id": [], "doc_id": [], "score": []})
+                    return _pack_candidates([], [], [], sp)
                 dl = _dl_cache_get(fp, ("g", sp, int(left["_g"].iloc[0])),
                                    right)
                 if dl is None:
@@ -459,20 +527,20 @@ def _score_ranges_broadcast(spark, index_dir, term_pred, config, wqt,
                         f"with matched segments (range_id={rid})")
                 return _score_range_broadcast(
                     left, groups, dl, k, mode, k1, b, avgdl, topk_fn,
-                    seeds=seed_map)
+                    seeds=seed_map, n_qb=sp)
 
             return (segs.groupby("_g")
                     .cogroup(dlseg.groupby("_g"))
-                    .applyInPandas(run, CAND_SCHEMA))
+                    .applyInPandas(run, CAND_BLOB_SCHEMA))
 
         def run1(pdf: pd.DataFrame) -> pd.DataFrame:
             return _score_range_broadcast(
                 pdf, groups, None, k, mode, k1, b, avgdl, topk_fn,
-                seeds=seed_map)
+                seeds=seed_map, n_qb=sp)
 
-        return segs.groupBy("_g").applyInPandas(run1, CAND_SCHEMA)
+        return segs.groupBy("_g").applyInPandas(run1, CAND_BLOB_SCHEMA)
 
-    return scorer(seed_map=seeds)
+    return _merge_topk_blobs(scorer(seed_map=seeds), k, sp, slot_arr)
 
 
 def _densest_ranges(spark, index_dir, term_pred, config,
@@ -520,7 +588,7 @@ def _theta_seeds_broadcast(spark, index_dir, term_pred, config, wqt,
     def run_seed(pdf: pd.DataFrame) -> pd.DataFrame:
         return _score_range_broadcast(
             pdf, groups, None, k, mode, k1, b, avgdl, topk_fn,
-            only_groups=only_groups)
+            only_groups=only_groups, n_qb=sp)
 
     if mode == "bm25":
         dlseg = keyed(spark.read.parquet(
@@ -529,8 +597,7 @@ def _theta_seeds_broadcast(spark, index_dir, term_pred, config, wqt,
 
         def run_seed2(left, right):
             if len(left) == 0:
-                return pd.DataFrame(
-                    {"query_id": [], "doc_id": [], "score": []})
+                return _pack_candidates([], [], [], sp)
             dl = _dl_cache_get(fp, ("g", sp, int(left["_g"].iloc[0])),
                                right)
             if dl is None:
@@ -540,18 +607,17 @@ def _theta_seeds_broadcast(spark, index_dir, term_pred, config, wqt,
                     f"with matched segments (range_id={rid})")
             return _score_range_broadcast(
                 left, groups, dl, k, mode, k1,
-                b, avgdl, topk_fn, only_groups=only_groups)
+                b, avgdl, topk_fn, only_groups=only_groups, n_qb=sp)
 
         seed_cand = (segs.groupby("_g")
                      .cogroup(dlseg.groupby("_g"))
-                     .applyInPandas(run_seed2, CAND_SCHEMA))
+                     .applyInPandas(run_seed2, CAND_BLOB_SCHEMA))
     else:
         seed_cand = segs.groupBy("_g").applyInPandas(
-            run_seed, CAND_SCHEMA)
-    wk = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("doc_id"))
-    kth = (seed_cand.withColumn("_r", F.row_number().over(wk))
-           .filter(F.col("_r") == k)
+            run_seed, CAND_BLOB_SCHEMA)
+    slot_arr = F.array(*[F.lit(x) for x in slots])
+    kth = (_merge_topk_blobs(seed_cand, k, sp, slot_arr)
+           .filter(F.col("rank") == k)
            .select("query_id", "score").collect())
     return {int(r["query_id"]): float(np.nextafter(r["score"], -np.inf))
             for r in kth} or None

@@ -145,7 +145,20 @@ def main():
                 out["query_wand_s"] = round(time.time() - t0, 2)
 
             if "fast" in only:
-                # fast-DAAT phase: large mixed batch
+                # fast-DAAT phase at TWO batch sizes: the big-batch wall
+                # is the headline; the small-batch wall lets the bench
+                # page derive MARGINAL serving throughput
+                # (Δqueries / Δwall), which strips per-batch fixed work
+                # (prep, segment scan, shuffle barriers) out of the
+                # N-vs-4N ratio
+                n_small = args.n_queries * 20
+                sq2 = spark.createDataFrame(scaling_queries(n_small),
+                                            "query_id long, query string")
+                out["n_queries_fast_small"] = n_small
+                t0 = time.time()
+                search_fast(spark, idx, sq2, k=10,
+                            score_mode="drqa").count()
+                out["query_fast_small_s"] = round(time.time() - t0, 2)
                 n_fast = args.n_queries * 80
                 fq = spark.createDataFrame(scaling_queries(n_fast),
                                            "query_id long, query string")

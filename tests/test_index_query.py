@@ -182,3 +182,32 @@ def test_auto_n_ranges():
     assert resolve_n_ranges(auto, 500_000) == 32
     assert resolve_n_ranges(auto, 10 ** 12) == 31250
     assert resolve_n_ranges(auto, 0) == 32
+
+
+@pytest.mark.parametrize("mode", ["drqa", "bm25"])
+def test_packed_candidate_merge_identity(spark, built, mode, monkeypatch):
+    """Force the big-batch packed-candidate merge (blobs + vectorized
+    top-k) and assert row/score identity with the exact path — tiny
+    test batches otherwise take the rows+window bypass."""
+    import math
+    import word2doc_spark.query.ranges as R
+    from word2doc_spark.query.exact import search_exact
+    from word2doc_spark.query.fast import search_fast
+    from word2doc_spark.query.wand import search_wand
+
+    index_dir, _ = built
+    qdf = spark.createDataFrame(QUERIES, "query_id long, query string")
+    exact = search_exact(spark, index_dir, qdf, k=7,
+                         score_mode=mode).collect()
+    monkeypatch.setattr(R, "_PACK_MIN_CANDIDATES", 0)
+    packed_fast = search_fast(spark, index_dir, qdf, k=7,
+                              score_mode=mode).collect()
+    packed_wand = search_wand(spark, index_dir, qdf, k=7, score_mode=mode,
+                              seed_theta=True).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    for got in (packed_fast, packed_wand):
+        assert sorted(map(key, got)) == sorted(map(key, exact))
+        for a, b in zip(sorted(got, key=key), sorted(exact, key=key)):
+            assert (a["doc_id"], a["url"]) == (b["doc_id"], b["url"])
+            assert math.isclose(a["score"], b["score"], rel_tol=1e-9,
+                                abs_tol=1e-12)

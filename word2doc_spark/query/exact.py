@@ -96,8 +96,16 @@ def analyze_queries_driver(queries: DataFrame, config: IndexConfig,
 
     strict=True raises on queries with zero kept terms — reference B9
     semantics (tfidf_doc_ranker.py:98-103)."""
-    from word2doc_spark.functions.tokenize import Analyzer
     rows = queries.select("query_id", "query").collect()
+    return analyze_query_rows(rows, config, strict=strict)
+
+
+def analyze_query_rows(rows, config: IndexConfig,
+                       strict: bool = False) -> pd.DataFrame:
+    """Analysis of already-collected (query_id, query) rows — lets the
+    caller fold the batch-size probe and the analysis collect into ONE
+    job (prepare_weighted_terms collects with a bounded LIMIT first)."""
+    from word2doc_spark.functions.tokenize import Analyzer
     analyzer = Analyzer(ngram=config.ngram, hash_size=config.hash_size,
                         tokenizer=config.analyzer)
     terms, tfs = analyzer.analyze_batch([r["query"] or "" for r in rows])
@@ -246,8 +254,14 @@ def prepare_weighted_terms(spark: SparkSession, index_dir: str,
     emptiness propagates lazily)."""
     mode = resolve_analysis_mode(queries, analysis)
     if mode == "driver":
-        n_hint = queries.limit(_DRIVER_ANALYZE_MAX + 1).count()
-        if n_hint > _DRIVER_ANALYZE_MAX:
+        # ONE plain collect probes the size AND delivers the rows when
+        # the batch is small enough to analyze driver-side — driver mode
+        # already guarantees ≤ DISTRIBUTED_ANALYSIS_THRESHOLD rows, and a
+        # limit().collect() would run Spark's STAGED take (1, 4, 16, …
+        # partitions = 3-4 extra jobs per call, measured +0.5 s on the
+        # sf0.1 toy bench)
+        head = queries.select("query_id", "query").collect()
+        if len(head) > _DRIVER_ANALYZE_MAX:
             # big-but-driver-sized batch: tokenization+weighting run
             # EXECUTOR-side (they scale with cores; serial driver
             # analysis of a 20k-query batch measured 2.6 s flat at any
@@ -266,7 +280,7 @@ def prepare_weighted_terms(spark: SparkSession, index_dir: str,
             if wqt.empty:
                 return None, None, None, 0
         else:
-            qt = analyze_queries_driver(queries, config, strict=strict)
+            qt = analyze_query_rows(head, config, strict=strict)
             if qt.empty:
                 return None, None, None, 0
             wqt = weighted_query_terms(spark, index_dir, qt, n_docs,

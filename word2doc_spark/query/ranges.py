@@ -78,6 +78,10 @@ SEED_MAX_QUERIES = 200_000
 # 500k docs the constant loses (~10 s overhead vs ~2 s pruning gain);
 # the 10^12-doc sizing uses 10^4+ ranges where the linear term wins.
 SEED_MIN_RANGES = 1024
+# above this many estimated candidate rows (queries × range groups × k)
+# the broadcast shape packs candidates into blobs and merges in python;
+# below it, plain rows + a window cost one stage less
+_PACK_MIN_CANDIDATES = 1_000_000
 
 
 # process-lifetime decoded-dl cache (executor side): decode_dl_blobs was
@@ -360,7 +364,8 @@ def _wqt_groups(wqt: pd.DataFrame) -> list:
 
 def _score_range_broadcast(pdf: pd.DataFrame, groups, dl, k, mode, k1, b,
                            avgdl, topk_fn, seeds=None,
-                           only_groups=None, n_qb: int = 32) -> pd.DataFrame:
+                           only_groups=None,
+                           n_qb: int | None = None) -> pd.DataFrame:
     """Score one slot-group of doc ranges for every query in ``groups``.
     pdf holds each matched segment of the group's ranges exactly once
     (term_id, doc_lo, payload); per-term segment chains are built with one
@@ -397,6 +402,12 @@ def _score_range_broadcast(pdf: pd.DataFrame, groups, dl, k, mode, k1, b,
             out_q.append(qid)
             out_d.append(doc)
             out_s.append(score)
+    if n_qb is None:
+        return pd.DataFrame({
+            "query_id": np.asarray(out_q, dtype=np.int64),
+            "doc_id": np.asarray(out_d, dtype=np.int64),
+            "score": np.asarray(out_s, dtype=np.float64),
+        })
     return _pack_candidates(out_q, out_d, out_s, n_qb)
 
 
@@ -509,6 +520,15 @@ def _score_ranges_broadcast(spark, index_dir, term_pred, config, wqt,
                                        slots, sp, k, mode,
                                        k1, b, avgdl, topk_fn, fp)
 
+    # candidate-volume estimate picks the merge shape: a tiny batch's
+    # candidate rows window in one stage, faster than an extra python
+    # merge round-trip (~0.5 s of fixed stage cost); a big batch's
+    # candidates must never explode into Arrow rows (a 20k-query batch
+    # emits ~10^7) — they travel packed and merge vectorized
+    pack = len(groups) * sp * k > _PACK_MIN_CANDIDATES
+    out_schema = CAND_BLOB_SCHEMA if pack else CAND_SCHEMA
+    qb = sp if pack else None
+
     def scorer(seed_map=None):
         if mode == "bm25":
             dlseg = keyed(spark.read.parquet(
@@ -517,7 +537,10 @@ def _score_ranges_broadcast(spark, index_dir, term_pred, config, wqt,
 
             def run(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
                 if len(left) == 0:
-                    return _pack_candidates([], [], [], sp)
+                    if qb:
+                        return _pack_candidates([], [], [], sp)
+                    return pd.DataFrame({"query_id": [], "doc_id": [],
+                                         "score": []})
                 dl = _dl_cache_get(fp, ("g", sp, int(left["_g"].iloc[0])),
                                    right)
                 if dl is None:
@@ -527,20 +550,26 @@ def _score_ranges_broadcast(spark, index_dir, term_pred, config, wqt,
                         f"with matched segments (range_id={rid})")
                 return _score_range_broadcast(
                     left, groups, dl, k, mode, k1, b, avgdl, topk_fn,
-                    seeds=seed_map, n_qb=sp)
+                    seeds=seed_map, n_qb=qb)
 
             return (segs.groupby("_g")
                     .cogroup(dlseg.groupby("_g"))
-                    .applyInPandas(run, CAND_BLOB_SCHEMA))
+                    .applyInPandas(run, out_schema))
 
         def run1(pdf: pd.DataFrame) -> pd.DataFrame:
             return _score_range_broadcast(
                 pdf, groups, None, k, mode, k1, b, avgdl, topk_fn,
-                seeds=seed_map, n_qb=sp)
+                seeds=seed_map, n_qb=qb)
 
-        return segs.groupBy("_g").applyInPandas(run1, CAND_BLOB_SCHEMA)
+        return segs.groupBy("_g").applyInPandas(run1, out_schema)
 
-    return _merge_topk_blobs(scorer(seed_map=seeds), k, sp, slot_arr)
+    cand = scorer(seed_map=seeds)
+    if pack:
+        return _merge_topk_blobs(cand, k, sp, slot_arr)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k))
 
 
 def _densest_ranges(spark, index_dir, term_pred, config,

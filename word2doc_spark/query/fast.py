@@ -4,12 +4,13 @@ The reference's hot loop is a scipy CSR sparse dot product
 (tfidf_doc_ranker.py:62-63) — C-speed accumulation over all matching
 postings. This kernel is its per-range analog: the matched posting
 segments of one doc range are decoded (vectorized varint) and accumulated
-with ``np.unique`` + ``np.add.at`` — no per-posting Python. Top-k via
+with one argsort + ``np.add.reduceat`` — no per-posting Python. Top-k via
 argpartition, ties (score desc, doc_id asc).
 
 Distribution: queries fan out over doc ranges (query/ranges.py) — every
 range task scores its complete local slice for every query and emits only
-top-k candidates; the global merge is a window over n_ranges × Q × k rows.
+top-k candidates; the global merge over n_ranges × Q × k candidates is
+exact (window for small sets, packed-blob vectorized merge for large).
 
 Results are exact and identical to search_exact / search_wand
 (differential-tested). WAND wins when k is small relative to very long

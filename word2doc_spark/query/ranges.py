@@ -4,8 +4,11 @@ SURVEY.md §4.1 "per-shard bounded heap + final merge": matched posting
 segments are scored WHERE THEIR DOC RANGES LIVE — one task per group of
 doc ranges holds every matched segment for its ranges (all query terms),
 so each document's full score is computed locally; the task emits only
-its per-query top-k candidates, and a final window over the tiny
-(n_groups × Q × k) candidate set yields the exact global top-k.
+its per-query top-k candidates, and an exact global merge over the
+(n_groups × Q × k) candidate set yields the final top-k. The merge
+shape is volume-adaptive: small candidate sets window in one stage;
+large ones travel as numpy-packed blobs and merge vectorized
+(_PACK_MIN_CANDIDATES).
 
 Two shapes, picked by how the query batch was analyzed:
 

@@ -70,3 +70,37 @@ def test_fast_spark_differential(spark, tmp_path):
                [(r["query_id"], r["rank"], r["doc_id"]) for r in b]
         for x, y in zip(a, b):
             assert math.isclose(x["score"], y["score"], rel_tol=1e-9)
+
+
+def test_pack_candidates_overflow_guard():
+    """doc_ids beyond exact float64 range must fail loudly, never pack."""
+    import pytest as _pytest
+    from word2doc_spark.query.ranges import _pack_candidates
+
+    ok = _pack_candidates([1, 2], [10 ** 12, (1 << 53) - 1], [0.5, 0.25],
+                          n_qb=8)
+    assert len(ok) == 2  # two distinct qb buckets
+    with _pytest.raises(OverflowError):
+        _pack_candidates([1], [1 << 53], [0.5], n_qb=8)
+
+
+def test_pack_merge_roundtrip_semantics():
+    """Packed triples decode back exactly, and the merge's lexsort order
+    matches the window semantics (score desc, doc_id asc) incl. ties."""
+    import numpy as np
+    from word2doc_spark.query.ranges import _pack_candidates
+
+    q = [7, 7, 7, 8]
+    d = [5, 3, 9, 1]
+    s = [1.5, 2.5, 2.5, 0.5]
+    pdf = _pack_candidates(q, d, s, n_qb=4)
+    a = np.concatenate([np.frombuffer(b, dtype=np.float64).reshape(-1, 3)
+                        for b in pdf["blob"]])
+    assert sorted(map(tuple, a.tolist())) == sorted(
+        [(7.0, 5.0, 1.5), (7.0, 3.0, 2.5), (7.0, 9.0, 2.5),
+         (8.0, 1.0, 0.5)])
+    order = np.lexsort((a[:, 1], -a[:, 2], a[:, 0]))
+    got = [tuple(map(float, a[i])) for i in order]
+    # query 7: score 2.5 doc 3, score 2.5 doc 9 (tie -> doc asc), 1.5 doc 5
+    assert got == [(7.0, 3.0, 2.5), (7.0, 9.0, 2.5), (7.0, 5.0, 1.5),
+                   (8.0, 1.0, 0.5)]

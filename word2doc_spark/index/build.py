@@ -63,6 +63,7 @@ import os
 import shutil
 import threading
 import time
+import uuid
 from typing import Iterator
 
 import numpy as np
@@ -594,174 +595,181 @@ def build_index(
         cache_comp_key = "spark.sql.inMemoryColumnarStorage.compressed"
         cache_comp_old = spark.conf.get(cache_comp_key, "true")
         spark.conf.set(cache_comp_key, "false")
-        ranged = (ext.withColumn("_pkey", _url_bucket_col(bounds))
-                     .withColumn("_pslot", F.element_at(
-                         slots, F.col("_pkey") + 1))
-                     .repartition(sp, "_pslot")
-                     .sortWithinPartitions("_pkey", "url")
-                     .drop("_pslot")
-                     .persist(StorageLevel.MEMORY_AND_DISK))
-        counts = {r["_pkey"]: r["cnt"] for r in
-                  ranged.groupBy("_pkey").agg(F.count("*").alias("cnt"))
-                        .collect()}
-        t_sub = _lap("extract_count", t_sub)
-        offsets: dict[int, int] = {}
-        acc = 0
-        for pkey in sorted(counts):
-            offsets[pkey] = acc
-            acc += counts[pkey]
-        n_docs = acc
-        range_width = range_width_for(
-            n_docs, resolve_n_ranges(config, n_docs))
+        ranged = None
+        try:
+            ranged = (ext.withColumn("_pkey", _url_bucket_col(bounds))
+                         .withColumn("_pslot", F.element_at(
+                             slots, F.col("_pkey") + 1))
+                         .repartition(sp, "_pslot")
+                         .sortWithinPartitions("_pkey", "url")
+                         .drop("_pslot")
+                         .persist(StorageLevel.MEMORY_AND_DISK))
+            counts = {r["_pkey"]: r["cnt"] for r in
+                      ranged.groupBy("_pkey").agg(F.count("*").alias("cnt"))
+                            .collect()}
+            t_sub = _lap("extract_count", t_sub)
+            offsets: dict[int, int] = {}
+            acc = 0
+            for pkey in sorted(counts):
+                offsets[pkey] = acc
+                acc += counts[pkey]
+            n_docs = acc
+            range_width = range_width_for(
+                n_docs, resolve_n_ranges(config, n_docs))
 
-        # hash partitioning may co-locate several url buckets in one task
-        # (sorted (_pkey, url) within it) — ids are assigned per bucket run
-        # from the global offsets, so doc_id = position in url-sorted order
-        def ids_only(it):
-            import numpy as np  # noqa: F811
-            import pandas as pd  # noqa: F811
-            pos: dict[int, int] = {}
-            for pdf in it:
-                if len(pdf) == 0:
-                    continue
-                pk = pdf["_pkey"].to_numpy()
-                out = np.empty(len(pdf), dtype=np.int64)
-                for s, e, key in _walk_key_runs(pk):
-                    start = pos.get(key, offsets[key])
-                    out[s:e] = np.arange(start, start + (e - s))
-                    pos[key] = start + (e - s)
-                yield pd.DataFrame({"doc_id": out, "url": pdf["url"]})
+            # hash partitioning may co-locate several url buckets in one task
+            # (sorted (_pkey, url) within it) — ids are assigned per bucket run
+            # from the global offsets, so doc_id = position in url-sorted order
+            def ids_only(it):
+                import numpy as np  # noqa: F811
+                import pandas as pd  # noqa: F811
+                pos: dict[int, int] = {}
+                for pdf in it:
+                    if len(pdf) == 0:
+                        continue
+                    pk = pdf["_pkey"].to_numpy()
+                    out = np.empty(len(pdf), dtype=np.int64)
+                    for s, e, key in _walk_key_runs(pk):
+                        start = pos.get(key, offsets[key])
+                        out[s:e] = np.arange(start, start + (e - s))
+                        pos[key] = start + (e - s)
+                    yield pd.DataFrame({"doc_id": out, "url": pdf["url"]})
 
-        (ranged.select("url", "_pkey")
-               .mapInPandas(ids_only, "doc_id long, url string")
-               .write.mode("overwrite").parquet(docs_path))
-        t_sub = _lap("doc_ids", t_sub)
+            (ranged.select("url", "_pkey")
+                   .mapInPandas(ids_only, "doc_id long, url string")
+                   .write.mode("overwrite").parquet(docs_path))
+            t_sub = _lap("doc_ids", t_sub)
 
-        ngram, hash_size = config.ngram, config.hash_size
-        analyzer_name = config.analyzer
-        num_shards = config.num_shards
-        n_routes = max(_ROUTES_MIN, sp)
+            ngram, hash_size = config.ngram, config.hash_size
+            analyzer_name = config.analyzer
+            num_shards = config.num_shards
+            n_routes = max(_ROUTES_MIN, sp)
 
-        def ids_and_analyze(it):
-            import numpy as np  # noqa: F811
-            import pandas as pd  # noqa: F811
-            from word2doc_spark.functions.tokenize import shared_analyzer
-            analyzer = shared_analyzer(ngram=ngram, hash_size=hash_size,
-                                       tokenizer=analyzer_name)
-            pos: dict[int, int] = {}
-            buf_t: list = []
-            buf_d: list = []
-            buf_f: list = []
-            dl_d: list = []
-            dl_v: list = []
-            buffered = 0
-
-            def flush_postings():
-                nonlocal buffered
-                if not buf_t:
-                    return None
-                rows = _pack_posting_blobs(
-                    np.concatenate(buf_t), np.concatenate(buf_d),
-                    np.concatenate(buf_f), num_shards, n_routes,
-                    range_width)
-                buf_t.clear()
-                buf_d.clear()
-                buf_f.clear()
+            def ids_and_analyze(it):
+                import numpy as np  # noqa: F811
+                import pandas as pd  # noqa: F811
+                from word2doc_spark.functions.tokenize import shared_analyzer
+                analyzer = shared_analyzer(ngram=ngram, hash_size=hash_size,
+                                           tokenizer=analyzer_name)
+                pos: dict[int, int] = {}
+                buf_t: list = []
+                buf_d: list = []
+                buf_f: list = []
+                dl_d: list = []
+                dl_v: list = []
                 buffered = 0
-                return pd.DataFrame(rows,
-                                    columns=["shard_id", "route", "blob"])
 
-            for pdf in it:
-                if len(pdf) == 0:
-                    continue
-                pk = pdf["_pkey"].to_numpy()
-                row_ids = np.empty(len(pdf), dtype=np.int64)
-                for s, e, key in _walk_key_runs(pk):
-                    start = pos.get(key, offsets[key])
-                    row_ids[s:e] = np.arange(start, start + (e - s))
-                    pos[key] = start + (e - s)
-                texts = pdf["text"].fillna("").tolist()
-                term_lists, tf_lists = analyzer.analyze_batch(texts)
-                lens = np.fromiter((t.size for t in term_lists),
-                                   dtype=np.int64, count=len(term_lists))
-                if lens.sum() > 0:
-                    buf_t.append(np.concatenate(term_lists)
-                                 .astype(np.int64, copy=False))
-                    buf_d.append(np.repeat(row_ids, lens))
-                    buf_f.append(np.concatenate(tf_lists)
-                                 .astype(np.int64, copy=False))
-                    buffered += int(lens.sum())
-                # per-doc dl pairs (dl = Σtf — exactly what the old
-                # groupBy over exploded staged terms computed)
-                dls = np.fromiter((t.sum() for t in tf_lists),
-                                  dtype=np.int64, count=len(tf_lists))
-                mask = dls > 0
-                if mask.any():
-                    dl_d.append(row_ids[mask])
-                    dl_v.append(dls[mask])
-                if buffered >= _PACK_FLUSH_POSTINGS:
-                    out = flush_postings()
-                    if out is not None:
-                        yield out
-            out = flush_postings()
-            if out is not None:
-                yield out
-            if dl_d:
-                from word2doc_spark.index.postings import pack_pairs
-                d = np.concatenate(dl_d)
-                v = np.concatenate(dl_v)
-                order = np.argsort(d, kind="stable")
-                blob = pack_pairs(d[order], v[order])
-                yield pd.DataFrame(
-                    [(-1, int(d[0]) % n_routes, blob)],
-                    columns=["shard_id", "route", "blob"])
+                def flush_postings():
+                    nonlocal buffered
+                    if not buf_t:
+                        return None
+                    rows = _pack_posting_blobs(
+                        np.concatenate(buf_t), np.concatenate(buf_d),
+                        np.concatenate(buf_f), num_shards, n_routes,
+                        range_width)
+                    buf_t.clear()
+                    buf_d.clear()
+                    buf_f.clear()
+                    buffered = 0
+                    return pd.DataFrame(rows,
+                                        columns=["shard_id", "route", "blob"])
 
-        (ranged.select("text", "_pkey")
-               .mapInPandas(ids_and_analyze, STAGE_SCHEMA)
-               .write.mode("overwrite")
-               .partitionBy("shard_id").parquet(stage_path))
-        t_sub = _lap("analyze_stage", t_sub)
-        # doc lengths (bm25 dl): decode the dl blob partition into the
-        # plain doclen table (exact-path join, avgdl) — an N-pair read of
-        # one hive partition, not a full-posting-stream aggregation
-        staged = spark.read.parquet(stage_path)
+                for pdf in it:
+                    if len(pdf) == 0:
+                        continue
+                    pk = pdf["_pkey"].to_numpy()
+                    row_ids = np.empty(len(pdf), dtype=np.int64)
+                    for s, e, key in _walk_key_runs(pk):
+                        start = pos.get(key, offsets[key])
+                        row_ids[s:e] = np.arange(start, start + (e - s))
+                        pos[key] = start + (e - s)
+                    texts = pdf["text"].fillna("").tolist()
+                    term_lists, tf_lists = analyzer.analyze_batch(texts)
+                    lens = np.fromiter((t.size for t in term_lists),
+                                       dtype=np.int64, count=len(term_lists))
+                    if lens.sum() > 0:
+                        buf_t.append(np.concatenate(term_lists)
+                                     .astype(np.int64, copy=False))
+                        buf_d.append(np.repeat(row_ids, lens))
+                        buf_f.append(np.concatenate(tf_lists)
+                                     .astype(np.int64, copy=False))
+                        buffered += int(lens.sum())
+                    # per-doc dl pairs (dl = Σtf — exactly what the old
+                    # groupBy over exploded staged terms computed)
+                    dls = np.fromiter((t.sum() for t in tf_lists),
+                                      dtype=np.int64, count=len(tf_lists))
+                    mask = dls > 0
+                    if mask.any():
+                        dl_d.append(row_ids[mask])
+                        dl_v.append(dls[mask])
+                    if buffered >= _PACK_FLUSH_POSTINGS:
+                        out = flush_postings()
+                        if out is not None:
+                            yield out
+                out = flush_postings()
+                if out is not None:
+                    yield out
+                if dl_d:
+                    from word2doc_spark.index.postings import pack_pairs
+                    d = np.concatenate(dl_d)
+                    v = np.concatenate(dl_v)
+                    order = np.argsort(d, kind="stable")
+                    blob = pack_pairs(d[order], v[order])
+                    yield pd.DataFrame(
+                        [(-1, int(d[0]) % n_routes, blob)],
+                        columns=["shard_id", "route", "blob"])
 
-        def decode_dl_pairs(it):
-            import numpy as np  # noqa: F811
-            import pandas as pd  # noqa: F811
-            from word2doc_spark.index.postings import unpack_pairs
-            for pdf in it:
-                parts = [unpack_pairs(bytes(b)) for b in pdf["blob"]]
-                parts = [p for p in parts if p[0].size]
-                if not parts:
-                    continue
-                yield pd.DataFrame({
-                    "doc_id": np.concatenate([p[0] for p in parts]),
-                    "dl": np.concatenate([p[1] for p in parts]),
-                })
+            (ranged.select("text", "_pkey")
+                   .mapInPandas(ids_and_analyze, STAGE_SCHEMA)
+                   .write.mode("overwrite")
+                   .partitionBy("shard_id").parquet(stage_path))
+            t_sub = _lap("analyze_stage", t_sub)
+            # doc lengths (bm25 dl): decode the dl blob partition into the
+            # plain doclen table (exact-path join, avgdl) — an N-pair read of
+            # one hive partition, not a full-posting-stream aggregation
+            staged = spark.read.parquet(stage_path)
 
-        (staged.filter(F.col("shard_id") == -1).select("blob")
-               .mapInPandas(decode_dl_pairs, "doc_id long, dl long")
-               .write.mode("overwrite").parquet(doclen_path))
-        t_sub = _lap("doclen", t_sub)
-        doclen = spark.read.parquet(doclen_path)
-        dl_keyed = doclen.withColumn(
-            "range_id", (F.col("doc_id") / F.lit(range_width)).cast("int")
-        ).withColumn(
-            "chunk_id",
-            ((F.col("doc_id") % F.lit(range_width))
-             / F.lit(config.dl_chunk_docs)).cast("int"))
-        (dl_keyed.repartition(sp, "range_id", "chunk_id")
-                 .sortWithinPartitions("doc_id")
-                 .select("doc_id", "dl")
-                 .mapInPandas(_encode_dl_runs(range_width,
-                                              config.dl_chunk_docs,
-                                              config.block_size),
-                              schema=DL_SEG_SCHEMA)
-                 .write.mode("overwrite").parquet(doclen_seg_path))
-        t_sub = _lap("doclen_seg", t_sub)
-        ranged.unpersist()
-        spark.conf.set(cache_comp_key, cache_comp_old)
+            def decode_dl_pairs(it):
+                import numpy as np  # noqa: F811
+                import pandas as pd  # noqa: F811
+                from word2doc_spark.index.postings import unpack_pairs
+                for pdf in it:
+                    parts = [unpack_pairs(bytes(b)) for b in pdf["blob"]]
+                    parts = [p for p in parts if p[0].size]
+                    if not parts:
+                        continue
+                    yield pd.DataFrame({
+                        "doc_id": np.concatenate([p[0] for p in parts]),
+                        "dl": np.concatenate([p[1] for p in parts]),
+                    })
+
+            (staged.filter(F.col("shard_id") == -1).select("blob")
+                   .mapInPandas(decode_dl_pairs, "doc_id long, dl long")
+                   .write.mode("overwrite").parquet(doclen_path))
+            t_sub = _lap("doclen", t_sub)
+            doclen = spark.read.parquet(doclen_path)
+            dl_keyed = doclen.withColumn(
+                "range_id", (F.col("doc_id") / F.lit(range_width)).cast("int")
+            ).withColumn(
+                "chunk_id",
+                ((F.col("doc_id") % F.lit(range_width))
+                 / F.lit(config.dl_chunk_docs)).cast("int"))
+            (dl_keyed.repartition(sp, "range_id", "chunk_id")
+                     .sortWithinPartitions("doc_id")
+                     .select("doc_id", "dl")
+                     .mapInPandas(_encode_dl_runs(range_width,
+                                                  config.dl_chunk_docs,
+                                                  config.block_size),
+                                  schema=DL_SEG_SCHEMA)
+                     .write.mode("overwrite").parquet(doclen_seg_path))
+            t_sub = _lap("doclen_seg", t_sub)
+        finally:
+            # restore session state even when extract/analyze
+            # throws — a leaked conf would leave cache
+            # compression disabled for the caller's whole session
+            if ranged is not None:
+                ranged.unpersist()
+            spark.conf.set(cache_comp_key, cache_comp_old)
         manifest.write_marker("stage", fp, wall_s=time.time() - t0,
                               n_docs=n_docs, range_width=range_width,
                               sub_walls=sub)
@@ -850,6 +858,13 @@ def build_index(
         "index_bytes": sum(r["bytes"] for r in shard_rows),
         "input_token": input_token,
         "fingerprint": fp,
+        # per-PUBLISH unique id: executor-side process-lifetime caches key
+        # on this, never on the fingerprint — the fingerprint hashes only
+        # config + the caller's input_token (not corpus content), so two
+        # indexes built from different corpora under the same token, or an
+        # in-place rebuild after the corpus changed, would collide and
+        # silently serve another build's cached doc lengths
+        "build_id": uuid.uuid4().hex,
     }
     manifest.publish(config, **stats)
     metrics.update(stats)

@@ -54,19 +54,29 @@ def fast_topk(
     cache: optional per-TASK dict shared across a batch's queries — a
     term's decoded chain is query-independent, so hot terms decode once
     per task instead of once per query (the dominant kernel cost for
-    overlapping batches)."""
+    overlapping batches). Cache keys are CONTENT-stable: the scoring
+    wrappers thread an explicit chain key (term_id + first doc_lo,
+    carried in the same rows as the payloads) as an optional 4th element
+    of each term row; direct kernel callers without one fall back to the
+    payload bytes objects themselves as the key (dict equality = content
+    equality — never object identity, whose ids can be reused after GC).
+    When the cache exposes ``charge`` (query/kcache.py TaskCache), big
+    entries are byte-accounted and the oldest evict beyond the budget."""
     doc_parts: list[np.ndarray] = []
     score_parts: list[np.ndarray] = []
-    for w, idf, payload in term_rows:
+    charge = getattr(cache, "charge", None)
+    for row in term_rows:
+        w, idf, payload = row[0], row[1], row[2]
         if w <= 0.0:
             continue
-        pid = (id(payload) if isinstance(payload, (bytes, bytearray))
-               else tuple(map(id, payload)))
         # per-(chain, w, idf) CONTRIBUTION arrays are also shared across
         # queries (same term + same query-side tf → identical per-doc
         # scores; dl is task-constant) — cache them so a query's marginal
         # cost is just concat + accumulate
         if cache is not None:
+            pid = row[3] if len(row) > 3 else (
+                payload if isinstance(payload, (bytes, bytearray))
+                else tuple(payload))
             ckey = ("contrib", pid, w, idf, mode)
             got = cache.get(ckey)
         else:
@@ -79,6 +89,9 @@ def fast_topk(
                          t_raw.astype(np.float64))
                 if cache is not None:
                     cache[("chain", pid)] = chain
+                    if charge is not None:
+                        charge(("chain", pid),
+                               chain[0].nbytes + chain[1].nbytes)
             docs, tfs = chain
             if mode == "drqa":
                 contrib = (w * idf) * np.log1p(tfs)
@@ -90,6 +103,8 @@ def fast_topk(
             got = (docs, contrib)
             if cache is not None:
                 cache[ckey] = got
+                if charge is not None:
+                    charge(ckey, docs.nbytes + contrib.nbytes)
         doc_parts.append(got[0])
         score_parts.append(got[1])
     if not doc_parts:

@@ -47,12 +47,24 @@ def get_stats() -> dict:
     return dict(STATS)
 
 
-def _chain_directory(payloads, cache: dict):
+def _chain_key(payloads, ckey=None):
+    """Content-stable identity of a segment chain for cache keys. The
+    scoring wrappers thread an explicit key (term_id + first doc_lo from
+    the same rows the payloads travel in); direct kernel callers fall
+    back to the payload bytes objects themselves (dict equality = content
+    equality). NEVER id(): a GC'd id can be reused by a different payload
+    → silent wrong-chain cache hit."""
+    if ckey is not None:
+        return ckey
+    return tuple(payloads)
+
+
+def _chain_directory(payloads, cache: dict, ckey=None):
     """Parsed block directory of a segment chain, memoized per task —
     query-independent, and a batch's queries overlap heavily on hot
     terms, so each directory parse (one walk over every block header)
     runs once per task instead of once per query."""
-    dkey = ("dir", tuple(map(id, payloads)))
+    dkey = ("dir", _chain_key(payloads, ckey))
     entry = cache.get(dkey)
     if entry is None:
         seg_of, offs, lasts, prevs, maxtfs = [], [], [], [], []
@@ -68,13 +80,17 @@ def _chain_directory(payloads, cache: dict):
             p[1:] = l[:-1]
             prevs.append(p)
             maxtfs.append(m)
-        entry = (dkey,
+        entry = (dkey[1],
                  np.concatenate(seg_of).tolist(),
                  np.concatenate(offs).tolist(),
                  np.concatenate(lasts).tolist(),
                  np.concatenate(prevs).tolist(),
                  np.concatenate(maxtfs).astype(np.float64))
         cache[dkey] = entry
+        charge = getattr(cache, "charge", None)
+        if charge is not None:
+            # 4 python-int lists + one float64 array per block
+            charge(dkey, len(entry[2]) * (4 * 40 + 8))
     return entry
 
 
@@ -88,27 +104,30 @@ class _Cursor:
     np scalar ufuncs (the r3 kernel spent most of its wall in exactly
     those per-element numpy calls)."""
 
-    __slots__ = ("payloads", "seg_of", "offs", "lasts", "prevs",
+    __slots__ = ("payloads", "ckey", "seg_of", "offs", "lasts", "prevs",
                  "block_ubs", "ub", "w", "idf", "bi", "docs", "tfs", "pos",
                  "exhausted", "_nblocks", "cache")
 
     def __init__(self, payloads, w: float, idf: float, block_ub_fn,
-                 cache: dict) -> None:
+                 cache: dict, ckey=None) -> None:
         if isinstance(payloads, (bytes, bytearray)):
             payloads = [payloads]
         self.payloads = payloads
         self.cache = cache
-        dkey, self.seg_of, self.offs, self.lasts, self.prevs, maxtfs_arr \
-            = _chain_directory(payloads, cache)
+        self.ckey, self.seg_of, self.offs, self.lasts, self.prevs, \
+            maxtfs_arr = _chain_directory(payloads, cache, ckey)
         self._nblocks = len(self.offs)
         # block upper bounds depend only on (chain, w, idf) — shared by
         # every query using this term with the same query-side tf
-        ukey = ("ubs", dkey[1], w, idf)
+        ukey = ("ubs", self.ckey, w, idf)
         got = cache.get(ukey)
         if got is None:
             ubs = block_ub_fn(maxtfs_arr)
             got = (float(ubs.max()), ubs.tolist())
             cache[ukey] = got
+            charge = getattr(cache, "charge", None)
+            if charge is not None:
+                charge(ukey, len(got[1]) * 40)
         self.ub, self.block_ubs = got
         self.w = w
         self.idf = idf
@@ -124,13 +143,21 @@ class _Cursor:
             self.exhausted = True
             return
         payload = self.payloads[self.seg_of[bi]]
-        bkey = ("blk", id(payload), self.offs[bi])
+        # block index within the chain directory is stable for a given
+        # chain content — content-keyed, unlike the old id(payload)
+        bkey = ("blk", self.ckey, bi)
         got = self.cache.get(bkey)
         if got is None:
             docs, tfs = decode_block(payload, self.offs[bi],
                                      self.prevs[bi])
             got = (docs.tolist(), tfs.tolist())
             self.cache[bkey] = got
+            charge = getattr(self.cache, "charge", None)
+            if charge is not None:
+                # two boxed-python-int lists (~40 B per element incl.
+                # list slot) — several times the payload bytes, which is
+                # exactly why the task cache is byte-budgeted
+                charge(bkey, len(got[0]) * 80)
             STATS["blocks_decoded"] += 1
         self.docs, self.tfs = got
         self.bi = bi
@@ -206,12 +233,20 @@ def wand_topk(
 
     cache: optional per-TASK dict shared across a batch's queries —
     parsed block directories and decoded blocks are query-independent,
-    so hot terms decode once per task instead of once per query.
+    so hot terms decode once per task instead of once per query. Keys
+    are content-stable (see _chain_key); a TaskCache (query/kcache.py)
+    byte-bounds the decoded-block/directory entries per task.
     """
     if cache is None:
         cache = {}
-    live = [(w, idf, [p] if isinstance(p, (bytes, bytearray)) else p)
-            for w, idf, p in term_rows if w > 0.0]
+    live = []
+    for row in term_rows:
+        w, idf, p = row[0], row[1], row[2]
+        if w <= 0.0:
+            continue
+        live.append((w, idf,
+                     [p] if isinstance(p, (bytes, bytearray)) else p,
+                     row[3] if len(row) > 3 else None))
     if theta0 > 0.0 and live:
         # seeded short-circuit: if the sum of chain-level upper bounds
         # cannot beat θ0, no doc in this range can enter the global
@@ -219,8 +254,8 @@ def wand_topk(
         # This is what makes a seeded selective query (rare term + dense
         # term) O(1) in every range but the rare one.
         total_ub = 0.0
-        for w, idf, payloads in live:
-            mx = float(_chain_directory(payloads, cache)[5].max())
+        for w, idf, payloads, ck in live:
+            mx = float(_chain_directory(payloads, cache, ck)[5].max())
             if mode == "drqa":
                 total_ub += w * idf * log1p(mx)
             else:
@@ -228,16 +263,18 @@ def wand_topk(
         if total_ub <= theta0:
             return []
     cursors: list[_Cursor] = []
-    for w, idf, payload in live:
+    for w, idf, payload, ck in live:
         if mode == "drqa":
             cursors.append(_Cursor(
                 payload, w, idf,
-                lambda mx, w=w, idf=idf: w * idf * np.log1p(mx), cache))
+                lambda mx, w=w, idf=idf: w * idf * np.log1p(mx), cache,
+                ckey=ck))
         else:
             cursors.append(_Cursor(
                 payload, w, idf,
                 lambda mx, w=w: w * (mx * (k1 + 1.0)) /
-                                (mx + k1 * (1.0 - b)), cache))
+                                (mx + k1 * (1.0 - b)), cache,
+                ckey=ck))
     cursors = [c for c in cursors if not c.exhausted]
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
     theta = theta0

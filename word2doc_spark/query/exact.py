@@ -163,17 +163,52 @@ def _matched_segments(spark: SparkSession, index_dir: str,
     return _prune_terms(segs, term_ids, num_shards).select(*cols)
 
 
+# driver-side per-build term-df cache: a term's df is BUILD-constant, so
+# repeat batches over a stable vocabulary skip the pruned terms-table
+# scan (measured ~1.1 s of flat per-batch wall at sf0.1 — the largest
+# single fixed cost of query prep, paid by all three search paths).
+# Keyed by the per-publish build_id; df=0 marks a term ABSENT from the
+# index so unknown terms don't re-scan every batch. Bounded by total
+# entries (ints — ~50 MB at the cap).
+_TERM_DF_CACHE: dict = {}
+_TERM_DF_CACHE_MAX_TERMS = 4_000_000
+
+
+def _term_dfs(spark: SparkSession, index_dir: str, term_ids: list,
+              num_shards: int, bid: str | None = None) -> dict:
+    """{term_id: df} for the given terms (0 = absent from the index),
+    via the build-keyed driver cache + one pruned scan for the misses."""
+    cache = None
+    if bid is not None:
+        if sum(len(v) for v in _TERM_DF_CACHE.values()) \
+                > _TERM_DF_CACHE_MAX_TERMS:
+            _TERM_DF_CACHE.clear()
+        cache = _TERM_DF_CACHE.setdefault(bid, {})
+        missing = [t for t in term_ids if t not in cache]
+    else:
+        cache = {}
+        missing = list(term_ids)
+    if missing:
+        stats = _prune_terms(
+            spark.read.parquet(os.path.join(index_dir, "terms")),
+            missing, num_shards).select("term_id", "df").collect()
+        got = {r["term_id"]: r["df"] for r in stats}
+        for t in missing:
+            cache[t] = got.get(t, 0)
+    return cache
+
+
 def weighted_query_terms(spark: SparkSession, index_dir: str,
                          qt: pd.DataFrame, n_docs: int,
-                         num_shards: int) -> pd.DataFrame:
+                         num_shards: int,
+                         bid: str | None = None) -> pd.DataFrame:
     """Attach df/idf/w to analyzed query terms via a pruned scan of the
-    terms stats table; drops terms absent from the index (they match no
-    postings) and terms with w == 0 (idf clamped to 0)."""
+    terms stats table (cached per build — _term_dfs); drops terms absent
+    from the index (they match no postings) and terms with w == 0 (idf
+    clamped to 0)."""
     term_ids = sorted({int(t) for t in qt["term_id"].unique()})
-    stats = _prune_terms(
-        spark.read.parquet(os.path.join(index_dir, "terms")),
-        term_ids, num_shards).select("term_id", "df").collect()
-    df_map = {r["term_id"]: r["df"] for r in stats}
+    dfs_all = _term_dfs(spark, index_dir, term_ids, num_shards, bid)
+    df_map = {t: dfs_all[t] for t in term_ids if dfs_all[t] > 0}
     out = qt[qt["term_id"].isin(df_map.keys())].copy()
     if out.empty:
         out["df"] = out["idf"] = out["w"] = np.empty(0, dtype=np.float64)
@@ -213,19 +248,46 @@ def weighted_query_terms_distributed(spark: SparkSession, index_dir: str,
               .select(*cols))
 
 
-def resolve_analysis_mode(queries: DataFrame, analysis: str) -> str:
-    """'driver' | 'distributed' | 'auto' → concrete mode. Auto counts at
-    most THRESHOLD+1 rows (bounded job) to decide."""
+def resolve_analysis_mode(queries: DataFrame, analysis: str,
+                          with_rows: bool = False):
+    """'driver' | 'distributed' | 'auto' → concrete mode. Auto probes at
+    most THRESHOLD+1 rows (one bounded job) to decide.
+
+    with_rows=True returns (mode, rows_or_None): in auto mode the size
+    probe is a BOUNDED limit(THRESHOLD+1).collect() forced into a single
+    all-partition job (spark.sql.limit.initialNumPartitions — the
+    default staged take runs 1, 4, 16, … partitions = 3-4 jobs), so when
+    the batch is ≤ THRESHOLD the probe already delivers every row and
+    the driver path needs no second collect job. The old probe+collect
+    pair cost two full driver round-trips per batch (~0.65 s measured
+    flat at any batch size on the sf0.1 bench); this is one (~0.5 s),
+    and stays memory-bounded for huge batches."""
+    rows = None
     if analysis in ("driver", "distributed"):
-        return analysis
-    if analysis != "auto":
+        mode = analysis
+    elif analysis != "auto":
         raise ValueError(analysis)
-    # a LocalRelation batch (createDataFrame) is driver-resident already —
-    # no job needed to know it is small
-    if queries.isLocal():
-        return "driver"
-    n = queries.limit(DISTRIBUTED_ANALYSIS_THRESHOLD + 1).count()
-    return "distributed" if n > DISTRIBUTED_ANALYSIS_THRESHOLD else "driver"
+    elif queries.isLocal():
+        # a LocalRelation batch is driver-resident already — no job
+        # needed to know it is small (NOTE: list-built createDataFrame
+        # goes through parallelize and is NOT local; only pandas/Arrow
+        # input produces a LocalRelation)
+        mode = "driver"
+    else:
+        spark = queries.sparkSession
+        key = "spark.sql.limit.initialNumPartitions"
+        old = spark.conf.get(key, "1")
+        spark.conf.set(key, "1000000")
+        try:
+            rows = (queries.select("query_id", "query")
+                    .limit(DISTRIBUTED_ANALYSIS_THRESHOLD + 1).collect())
+        finally:
+            spark.conf.set(key, old)
+        if len(rows) > DISTRIBUTED_ANALYSIS_THRESHOLD:
+            mode, rows = "distributed", None
+        else:
+            mode = "driver"
+    return (mode, rows) if with_rows else mode
 
 
 def _strict_check_distributed(queries: DataFrame, qt: DataFrame) -> None:
@@ -240,7 +302,8 @@ def _strict_check_distributed(queries: DataFrame, qt: DataFrame) -> None:
 
 def prepare_weighted_terms(spark: SparkSession, index_dir: str,
                            queries: DataFrame, config: IndexConfig,
-                           n_docs: int, strict: bool, analysis: str):
+                           n_docs: int, strict: bool, analysis: str,
+                           bid: str | None = None):
     """Shared query-side prep for all three search paths.
 
     → (qdf, term_pred, wqt_pandas, n_queries_hint) where qdf is the
@@ -252,15 +315,15 @@ def prepare_weighted_terms(spark: SparkSession, index_dir: str,
     count when driver-known. Returns (None, None, None, 0) when no query
     term matches the index (driver mode only — in distributed mode
     emptiness propagates lazily)."""
-    mode = resolve_analysis_mode(queries, analysis)
+    mode, head = resolve_analysis_mode(queries, analysis, with_rows=True)
     if mode == "driver":
-        # ONE plain collect probes the size AND delivers the rows when
-        # the batch is small enough to analyze driver-side — driver mode
-        # already guarantees ≤ DISTRIBUTED_ANALYSIS_THRESHOLD rows, and a
-        # limit().collect() would run Spark's STAGED take (1, 4, 16, …
-        # partitions = 3-4 extra jobs per call, measured +0.5 s on the
-        # sf0.1 toy bench)
-        head = queries.select("query_id", "query").collect()
+        # the auto probe already delivered the rows (tail(T+1), one
+        # job); an explicit analysis='driver' or a LocalRelation batch
+        # collects here — one plain job, never a staged limit().collect()
+        # take (1, 4, 16, … partitions = 3-4 extra jobs per call,
+        # measured +0.5 s on the sf0.1 toy bench)
+        if head is None:
+            head = queries.select("query_id", "query").collect()
         if len(head) > _DRIVER_ANALYZE_MAX:
             # big-but-driver-sized batch: tokenization+weighting run
             # EXECUTOR-side (they scale with cores; serial driver
@@ -284,7 +347,7 @@ def prepare_weighted_terms(spark: SparkSession, index_dir: str,
             if qt.empty:
                 return None, None, None, 0
             wqt = weighted_query_terms(spark, index_dir, qt, n_docs,
-                                       config.num_shards)
+                                       config.num_shards, bid)
             if wqt.empty:
                 return None, None, None, 0
         qdf = spark.createDataFrame(
@@ -337,9 +400,10 @@ def search_exact(
     n_docs = int(stats["n_docs"])
     avgdl = float(stats["avgdl"])
     k1, b = config.k1, config.b
+    bid = stats.get("build_id") or stats.get("fingerprint")
 
     qdf, term_pred, wqt, _nq = prepare_weighted_terms(
-        spark, index_dir, queries, config, n_docs, strict, analysis)
+        spark, index_dir, queries, config, n_docs, strict, analysis, bid)
     if qdf is None:
         return _empty_result(spark)
     segs = _matched_segments(spark, index_dir, term_pred,

@@ -326,7 +326,7 @@ def search_doc_partitioned(
     index_bytes = int(stats.get("index_bytes", 0) or 0)
 
     qdf, term_pred, wqt, nq = prepare_weighted_terms(
-        spark, index_dir, queries, config, n_docs, strict, analysis)
+        spark, index_dir, queries, config, n_docs, strict, analysis, bid)
     if qdf is None:
         return _empty_result(spark)
     # actual range count from the published layout (config.n_ranges may be

@@ -410,7 +410,34 @@ def main():
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(out_path, "w") as f:
         f.write("\n".join(md))
-    print(f"wrote {out_path}")
+    # machine-readable twin: the ONE source of truth for every scaling
+    # statistic quoted elsewhere (BASELINE.md's measured rows are
+    # regenerated from this by scripts/sync_baseline_counts.py — the r4
+    # review found the marginal-normalized number hand-copied into three
+    # places with three values)
+    summary = {
+        "generated": stamp,
+        "n": n, "n_docs": lo["n_docs"], "n_queries": n_q,
+        "hw_ceiling_cpu": round(hw_eff, 4),
+        "hw_ceiling_membw": round(membw_eff, 4),
+        "phases": [
+            {"label": label, "unit": unit,
+             "thr_lo": round(a, 1), "thr_hi": round(b, 1),
+             "eff_raw": round(eff, 4),
+             "eff_norm": round(eff / hw_eff, 4)}
+            for label, unit, a, b, eff in rows
+        ],
+        "wand_depth_crossover": [
+            {"dense_df": df, "wand_ms": round(w, 2),
+             "fast_ms": round(f, 2), "blocks_decoded": bd,
+             "blocks_skipped": bs}
+            for df, w, f, bd, bs in depth_rows
+        ],
+    }
+    sum_path = os.path.join(REPO, "BENCH", "scaling_summary.json")
+    with open(sum_path, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(f"wrote {out_path} and {sum_path}")
     for label, unit, a, b, eff in rows:
         print(f"{label}: {a:,.1f} -> {b:,.1f} {unit}  eff={eff:.2f}")
 

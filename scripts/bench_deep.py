@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""Deep-list end-to-end bench: block-max WAND in ITS regime, through Spark.
+
+The kernel depth-crossover probe (bench_scaling._wand_depth_probe) shows
+WAND beating the vectorized full scan once per-range dense lists reach
+~10^5 postings (14× at 10^6) — the layout the 10^12-doc sizing produces
+(range_width 32M docs). Every end-to-end bench row so far ran the
+500k/128-range layout (~10^3-posting cells) where the cached full scan
+wins. This bench builds that DEEP layout for real at local scale: the 1M
+synthetic corpus indexed with n_ranges=8 puts ~125k matched postings per
+range under a rare+all-dense-topics query (5 topic head words, df≈200k
+each, + one tok<digits> rare term, df≈80), k=1 — then runs the same
+query batch through search_fast, search_wand unseeded, and search_wand
+seed_theta=True, reporting q/s plus sampled per-worker block skip/decode
+counters (the θ-seeded short-circuit is what lets a range task dismiss a
+dense-only range in O(terms) without decoding anything).
+
+Usage: python scripts/bench_deep.py [--cpus 32] [--n-queries 2000]
+Writes BENCH/deep_summary.json; BENCH/BASELINE.md's deep section is
+rendered from that by scripts/sync_baseline_counts.py.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def deep_queries(n: int) -> list:
+    """rare term (df≈80) + one dense head word per topic (df≈200k each):
+    the rare term's idf² contribution dominates every dense upper bound,
+    so a seeded θ lets WAND short-circuit all dense-only ranges."""
+    return [(i, f"tok{(i * 7919) % 100000} spark index crawl café query")
+            for i in range(n)]
+
+
+def _wand_stats_sampled(spark, reset: bool = False, n_tasks: int = 256):
+    """Sample the per-python-worker WAND pruning counters (or reset
+    them). Workers are a process pool; 256 tiny tasks touch virtually
+    all of them, deduped by pid — 'sampled', not exact, and says so."""
+    def probe(_):
+        import os as _os
+        from word2doc_spark.query import wand as W
+        if reset:
+            W.reset_stats()
+            yield (_os.getpid(), 0, 0)
+        else:
+            s = W.get_stats()
+            yield (_os.getpid(), s["blocks_decoded"], s["blocks_skipped"])
+
+    rows = (spark.sparkContext.parallelize(range(n_tasks), n_tasks)
+            .mapPartitions(probe).collect())
+    by_pid = {pid: (bd, bs) for pid, bd, bs in rows}
+    return {"blocks_decoded": sum(v[0] for v in by_pid.values()),
+            "blocks_skipped": sum(v[1] for v in by_pid.values()),
+            "workers_sampled": len(by_pid)}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cpus", type=int, default=32)
+    p.add_argument("--corpus", default="/tmp/w2d_scaling_corpus_1000000")
+    p.add_argument("--index-dir", default="/tmp/w2d_deep_idx_1m")
+    p.add_argument("--n-queries", type=int, default=2000)
+    p.add_argument("--n-ranges", type=int, default=8)
+    p.add_argument("--k", type=int, default=1)
+    p.add_argument("--reps", type=int, default=2)
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+    from word2doc_spark.config import IndexConfig
+    from word2doc_spark.index.build import build_index
+    from word2doc_spark.index.manifest import Manifest
+    from word2doc_spark.query.fast import search_fast
+    from word2doc_spark.query.wand import search_wand
+    from word2doc_spark.sources.pages import synthetic_pages_distributed
+
+    spark = (
+        SparkSession.builder.master(f"local[{args.cpus}]")
+        .appName("w2d-deep-bench")
+        .config("spark.sql.shuffle.partitions", str(args.cpus * 4))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    cfg = IndexConfig(hash_size=2 ** 24, num_shards=4,
+                      n_ranges=args.n_ranges)
+    if not Manifest(args.index_dir).is_published():
+        if not os.path.exists(os.path.join(args.corpus, "_SUCCESS")):
+            print(f"generating corpus {args.corpus} ...", file=sys.stderr)
+            (synthetic_pages_distributed(spark, 1_000_000,
+                                         num_partitions=128)
+             .write.mode("overwrite").parquet(args.corpus))
+        pages = spark.read.parquet(args.corpus)
+        print("building deep index ...", file=sys.stderr)
+        build_index(spark, pages, args.index_dir, cfg, input_token="deep")
+
+    _, stats = Manifest(args.index_dir).load()
+    qdf = spark.createDataFrame(deep_queries(args.n_queries),
+                                "query_id long, query string")
+    # warmup (untimed, identical for every contender): parquet footers,
+    # codegen, python workers, serving-cache materialization, dl decode
+    warm = spark.createDataFrame(deep_queries(3),
+                                 "query_id long, query string")
+    for _ in range(2):
+        search_fast(spark, args.index_dir, warm, k=args.k,
+                    score_mode="drqa").count()
+        search_wand(spark, args.index_dir, warm, k=args.k,
+                    score_mode="drqa", seed_theta=False).count()
+
+    contenders = [
+        ("fast", lambda: search_fast(spark, args.index_dir, qdf, k=args.k,
+                                     score_mode="drqa")),
+        ("wand_unseeded", lambda: search_wand(
+            spark, args.index_dir, qdf, k=args.k, score_mode="drqa",
+            seed_theta=False)),
+        ("wand_seeded", lambda: search_wand(
+            spark, args.index_dir, qdf, k=args.k, score_mode="drqa",
+            seed_theta=True)),
+    ]
+    out = {"n_docs": int(stats["n_docs"]), "n_ranges": args.n_ranges,
+           "range_width": int(stats["range_width"]),
+           "n_queries": args.n_queries, "k": args.k, "cpus": args.cpus,
+           "phases": {}}
+    rows_ref = None
+    for name, fn in contenders:
+        walls, st = [], None
+        for rep in range(args.reps):
+            _wand_stats_sampled(spark, reset=True)
+            t0 = time.time()
+            n = fn().count()
+            walls.append(round(time.time() - t0, 2))
+            st = _wand_stats_sampled(spark)
+        # rank-identity across contenders (the win must not come from
+        # different answers)
+        got = sorted(tuple(r) for r in fn().select(
+            "query_id", "rank", "doc_id").collect())
+        if rows_ref is None:
+            rows_ref = got
+        else:
+            assert got == rows_ref, f"{name} results differ"
+        out["phases"][name] = {
+            "walls_s": walls, "wall_s": min(walls),
+            "qps": round(args.n_queries / min(walls), 1),
+            "blocks_decoded_sampled": st["blocks_decoded"],
+            "blocks_skipped_sampled": st["blocks_skipped"],
+            "workers_sampled": st["workers_sampled"],
+        }
+        print(name, out["phases"][name], file=sys.stderr)
+    spark.stop()
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "deep_summary.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

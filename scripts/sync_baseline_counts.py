@@ -1,11 +1,20 @@
 #!/usr/bin/env python
-"""Regenerate machine-derived counts embedded in BASELINE.md.
+"""Regenerate machine-derived statistics embedded in BASELINE.md.
 
-The round-3 review flagged a hand-synced pytest count drifting from the
-real suite size; this derives it from pytest's own collector instead.
-Run after adding tests: python scripts/sync_baseline_counts.py
+Two classes of drift this prevents (both were review findings):
+* the pytest count was hand-synced and drifted from the real suite size
+  (round 3) — now derived from pytest's own collector;
+* the marginal-scaling normalized efficiency was hand-copied into three
+  places with three different values (round 4) — now every scaling/deep
+  statistic quoted in BASELINE.md renders from the machine-readable
+  summaries that the bench scripts write (BENCH/scaling_summary.json,
+  BENCH/deep_summary.json), inside marked generated blocks.
+
+Run after adding tests or re-running benches:
+    python scripts/sync_baseline_counts.py
 """
 
+import json
 import os
 import re
 import subprocess
@@ -14,7 +23,72 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _replace_block(text: str, name: str, body: str) -> str:
+    begin = f"<!-- generated:{name}:begin -->"
+    end = f"<!-- generated:{name}:end -->"
+    if begin not in text:
+        return text
+    pat = re.compile(re.escape(begin) + r".*?" + re.escape(end), re.DOTALL)
+    return pat.sub(begin + "\n" + body.strip() + "\n" + end, text)
+
+
+def scaling_block() -> str | None:
+    path = os.path.join(REPO, "BENCH", "scaling_summary.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        s = json.load(f)
+    n = s["n"]
+    lines = [
+        f"Scaling page ({s['n_docs']:,} docs, local[{n}] → "
+        f"local[{4 * n}]; measured ceilings "
+        f"{s['hw_ceiling_cpu']:.2f} CPU / "
+        f"{s['hw_ceiling_membw']:.2f} memory-bus; generated "
+        f"{s['generated']}):",
+        "",
+        f"| phase | unit | local[{n}] | local[{4 * n}] | "
+        "efficiency (raw) | / CPU ceiling |",
+        "|---|---|---|---|---|---|",
+    ]
+    for p in s["phases"]:
+        lines.append(
+            f"| {p['label']} | {p['unit']} | {p['thr_lo']:,.1f} | "
+            f"{p['thr_hi']:,.1f} | {p['eff_raw']:.2f} | "
+            f"{p['eff_norm']:.2f} |")
+    return "\n".join(lines)
+
+
+def deep_block() -> str | None:
+    path = os.path.join(REPO, "BENCH", "deep_summary.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        d = json.load(f)
+    lines = [
+        f"Deep-list end-to-end ({d['n_docs']:,} docs, "
+        f"{d['n_ranges']} ranges × {d['range_width']:,}-doc width, "
+        f"{d['n_queries']} rare+dense queries, k={d['k']}, "
+        f"local[{d['cpus']}]; best-of reps, identical result rows "
+        "asserted across contenders):",
+        "",
+        "| path | wall s | q/s | blocks decoded (sampled) | "
+        "blocks skipped (sampled) |",
+        "|---|---|---|---|---|",
+    ]
+    for name in ("fast", "wand_unseeded", "wand_seeded"):
+        p = d["phases"][name]
+        lines.append(
+            f"| {name} | {p['wall_s']} | {p['qps']:,} | "
+            f"{p['blocks_decoded_sampled']:,} | "
+            f"{p['blocks_skipped_sampled']:,} |")
+    return "\n".join(lines)
+
+
 def main() -> None:
+    path = os.path.join(REPO, "BASELINE.md")
+    with open(path) as f:
+        text = f.read()
+
     out = subprocess.run(
         [sys.executable, "-m", "pytest", "--collect-only", "-q", "tests/"],
         cwd=REPO, capture_output=True, text=True)
@@ -23,13 +97,19 @@ def main() -> None:
         raise SystemExit(f"could not parse pytest collector output:\n"
                          f"{out.stdout[-2000:]}")
     n = int(m.group(1))
-    path = os.path.join(REPO, "BASELINE.md")
-    with open(path) as f:
-        text = f.read()
-    new = re.sub(r"\d+ pytest green", f"{n} pytest green", text)
-    with open(path, "w") as f:
-        f.write(new)
+    text = re.sub(r"\d+ pytest green", f"{n} pytest green", text)
     print(f"BASELINE.md: {n} pytest green")
+
+    for name, body in (("scaling", scaling_block()),
+                       ("deep", deep_block())):
+        if body is not None:
+            before = text
+            text = _replace_block(text, name, body)
+            if text != before:
+                print(f"BASELINE.md: regenerated {name} block")
+
+    with open(path, "w") as f:
+        f.write(text)
 
 
 if __name__ == "__main__":

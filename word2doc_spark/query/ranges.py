@@ -423,14 +423,23 @@ def _drain_unpersist() -> None:
 
 def _wqt_groups(wqt: pd.DataFrame) -> list:
     """[(query_id, [(term_id, w, idf), ...]), ...] — the closure-shipped
-    form of the weighted query terms (sorted, deterministic)."""
-    out = []
-    for qid, grp in wqt.sort_values(["query_id", "term_id"]).groupby(
-            "query_id", sort=True):
-        out.append((int(qid), list(zip(
-            grp["term_id"].astype(int), grp["w"].astype(float),
-            grp["idf"].astype(float)))))
-    return out
+    form of the weighted query terms (sorted, deterministic). One
+    lexsort + boundary walk: a pandas groupby here was ~0.5 s of flat
+    driver wall on a 40k-query batch — per-batch fixed cost."""
+    if not len(wqt):
+        return []
+    qids = wqt["query_id"].to_numpy(dtype=np.int64)
+    tids = wqt["term_id"].to_numpy(dtype=np.int64)
+    order = np.lexsort((tids, qids))
+    q, t = qids[order].tolist(), tids[order].tolist()
+    w = wqt["w"].to_numpy(dtype=np.float64)[order].tolist()
+    idf = wqt["idf"].to_numpy(dtype=np.float64)[order].tolist()
+    n = len(q)
+    starts = np.flatnonzero(np.concatenate(
+        ([True], qids[order][1:] != qids[order][:-1]))).tolist()
+    ends = starts[1:] + [n]
+    return [(q[s], list(zip(t[s:e], w[s:e], idf[s:e])))
+            for s, e in zip(starts, ends)]
 
 
 def _score_range_broadcast(pdf: pd.DataFrame, groups, dl, k, mode, k1, b,

@@ -40,23 +40,36 @@ def deep_queries(n: int) -> list:
 
 def _wand_stats_sampled(spark, reset: bool = False, n_tasks: int = 256):
     """Sample the per-python-worker WAND pruning counters (or reset
-    them). Workers are a process pool; 256 tiny tasks touch virtually
-    all of them, deduped by pid — 'sampled', not exact, and says so."""
-    def probe(_):
+    them). The probe MUST run through the Arrow runner (mapInPandas):
+    pandas-UDF workers are a separate process pool from plain-RDD
+    python workers (verified empirically — zero pid overlap), so an
+    rdd.mapPartitions probe always reads zeros. Workers are reused
+    across jobs; 256 tiny Arrow tasks touch virtually all of them,
+    deduped by pid — 'sampled', not exact, and says so."""
+    import pandas as pd
+
+    def probe(it):
         import os as _os
         from word2doc_spark.query import wand as W
         if reset:
             W.reset_stats()
-            yield (_os.getpid(), 0, 0)
+            yield pd.DataFrame({"pid": [_os.getpid()], "bd": [0],
+                                "bs": [0]})
         else:
             s = W.get_stats()
-            yield (_os.getpid(), s["blocks_decoded"], s["blocks_skipped"])
+            yield pd.DataFrame({"pid": [_os.getpid()],
+                                "bd": [s["blocks_decoded"]],
+                                "bs": [s["blocks_skipped"]]})
+        for _ in it:
+            pass
 
-    rows = (spark.sparkContext.parallelize(range(n_tasks), n_tasks)
-            .mapPartitions(probe).collect())
-    by_pid = {pid: (bd, bs) for pid, bd, bs in rows}
-    return {"blocks_decoded": sum(v[0] for v in by_pid.values()),
-            "blocks_skipped": sum(v[1] for v in by_pid.values()),
+    # explicit repartition(n) is exempt from AQE coalescing, so all
+    # n_tasks Arrow tasks really run
+    rows = (spark.range(n_tasks).repartition(n_tasks)
+            .mapInPandas(probe, "pid long, bd long, bs long").collect())
+    by_pid = {r["pid"]: (r["bd"], r["bs"]) for r in rows}
+    return {"blocks_decoded": int(sum(v[0] for v in by_pid.values())),
+            "blocks_skipped": int(sum(v[1] for v in by_pid.values())),
             "workers_sampled": len(by_pid)}
 
 
@@ -138,14 +151,30 @@ def main():
             n = fn().count()
             walls.append(round(time.time() - t0, 2))
             st = _wand_stats_sampled(spark)
-        # rank-identity across contenders (the win must not come from
-        # different answers)
-        got = sorted(tuple(r) for r in fn().select(
-            "query_id", "rank", "doc_id").collect())
+        # result-identity across contenders (the win must not come from
+        # different answers). Scores compare at 1e-9 rel; the doc must
+        # match only when the score is unambiguous — exactly-tied docs
+        # in DIFFERENT ranges can legitimately flip winner between
+        # kernels (per-range sums accumulate term contributions in
+        # different orders, so one side of a tie can land 1 ulp under
+        # the other; both answers are correct top-k under float64)
+        got = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+               for r in fn().select("query_id", "rank", "doc_id",
+                                    "score").collect()}
         if rows_ref is None:
             rows_ref = got
         else:
-            assert got == rows_ref, f"{name} results differ"
+            assert set(got) == set(rows_ref), f"{name}: key sets differ"
+            amb = 0
+            for key, (d, s) in got.items():
+                d0, s0 = rows_ref[key]
+                assert abs(s - s0) <= 1e-9 * max(1.0, abs(s0)), \
+                    f"{name}: score mismatch at {key}: {s} vs {s0}"
+                if d != d0:
+                    amb += 1
+            # tie-flips must be rare — anything more is a real bug
+            assert amb <= max(2, len(got) // 200), \
+                f"{name}: {amb} doc mismatches beyond tie ambiguity"
         out["phases"][name] = {
             "walls_s": walls, "wall_s": min(walls),
             "qps": round(args.n_queries / min(walls), 1),

@@ -307,3 +307,54 @@ def test_build_restores_conf_on_failure(spark, tmp_path):
                     str(tmp_path / "failidx"), CFG,
                     input_token="conf-fail", preprocess=boom)
     assert spark.conf.get(key, "true") == before
+
+
+def test_wqt_groups_matches_pandas_groupby_and_handles_empty():
+    import numpy as np
+    import pandas as pd
+    from word2doc_spark.query.ranges import _wqt_groups
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    wqt = pd.DataFrame({
+        "query_id": rng.integers(0, 500, n),
+        "term_id": rng.integers(0, 8000, n),
+        "w": rng.random(n),
+        "idf": rng.random(n),
+    })
+    qids, offs, tids, w, idf = _wqt_groups(wqt)
+    got = [(int(qids[i]),
+            list(zip(tids[offs[i]:offs[i + 1]].tolist(),
+                     w[offs[i]:offs[i + 1]].tolist(),
+                     idf[offs[i]:offs[i + 1]].tolist())))
+           for i in range(len(qids))]
+    want = []
+    for qid, grp in wqt.sort_values(["query_id", "term_id"]).groupby(
+            "query_id", sort=True):
+        want.append((int(qid), list(zip(
+            grp["term_id"].astype(int), grp["w"].astype(float),
+            grp["idf"].astype(float)))))
+    assert len(got) == len(want)
+    for (qa, ta), (qb, tb) in zip(got, want):
+        assert qa == qb
+        assert [(int(x), float(y), float(z)) for x, y, z in ta] == \
+               [(int(x), float(y), float(z)) for x, y, z in tb]
+    # empty batch (all-stopword queries) must not crash
+    e_q, e_off, e_t, _, _ = _wqt_groups(wqt.iloc[0:0])
+    assert len(e_q) == 0 and len(e_t) == 0 and e_off.tolist() == [0]
+
+
+def test_align_to_pack():
+    import numpy as np
+    from word2doc_spark.query.ranges import _align_to_pack
+
+    qids = np.array([3, 7, 10, 50], dtype=np.int64)
+    out = _align_to_pack(qids, [7, 50, 99], [1.5, 2.5, 9.9],
+                         default=-1.0, dtype=np.float64)
+    assert out.tolist() == [-1.0, 1.5, -1.0, 2.5]  # 99 not in pack
+    out = _align_to_pack(qids, [], [], default=-1, dtype=np.int64)
+    assert out.tolist() == [-1, -1, -1, -1]
+    # key beyond the last pack qid must not index out of bounds
+    out = _align_to_pack(qids, [51, 3], [8, 4], default=-1,
+                         dtype=np.int64)
+    assert out.tolist() == [4, -1, -1, -1]

@@ -421,25 +421,41 @@ def _drain_unpersist() -> None:
             pass
 
 
-def _wqt_groups(wqt: pd.DataFrame) -> list:
-    """[(query_id, [(term_id, w, idf), ...]), ...] — the closure-shipped
-    form of the weighted query terms (sorted, deterministic). One
-    lexsort + boundary walk: a pandas groupby here was ~0.5 s of flat
-    driver wall on a 40k-query batch — per-batch fixed cost."""
-    if not len(wqt):
-        return []
+def _wqt_groups(wqt: pd.DataFrame) -> tuple:
+    """(qids, offsets, tids, w, idf) numpy pack — the closure-shipped
+    form of the weighted query terms (qids unique ascending; query i's
+    terms are rows offsets[i]:offsets[i+1], term-sorted). Two costs this
+    shape kills on a 40k-query batch, both per-BATCH fixed walls: the
+    pandas groupby that used to build python tuples (~0.5 s driver), and
+    the per-task unpickle of ~10 MB of boxed tuples that every scoring
+    task paid before touching a segment (task count tracks cores, so
+    that wall was constant across parallelism levels — pure ratio
+    loss). Arrays pickle/unpickle at memcpy speed."""
     qids = wqt["query_id"].to_numpy(dtype=np.int64)
     tids = wqt["term_id"].to_numpy(dtype=np.int64)
     order = np.lexsort((tids, qids))
-    q, t = qids[order].tolist(), tids[order].tolist()
-    w = wqt["w"].to_numpy(dtype=np.float64)[order].tolist()
-    idf = wqt["idf"].to_numpy(dtype=np.float64)[order].tolist()
-    n = len(q)
-    starts = np.flatnonzero(np.concatenate(
-        ([True], qids[order][1:] != qids[order][:-1]))).tolist()
-    ends = starts[1:] + [n]
-    return [(q[s], list(zip(t[s:e], w[s:e], idf[s:e])))
-            for s, e in zip(starts, ends)]
+    qs = qids[order]
+    starts = np.flatnonzero(np.concatenate(([True], qs[1:] != qs[:-1]))) \
+        if len(qs) else np.empty(0, dtype=np.int64)
+    offsets = np.concatenate((starts, [len(qs)])).astype(np.int64)
+    return (qs[starts], offsets, tids[order],
+            wqt["w"].to_numpy(dtype=np.float64)[order],
+            wqt["idf"].to_numpy(dtype=np.float64)[order])
+
+
+def _align_to_pack(qids: np.ndarray, keys, values, default, dtype):
+    """Value-per-query array aligned to the pack's qids (sorted unique):
+    position of each key via searchsorted; keys absent from the pack are
+    dropped, queries absent from ``keys`` get ``default``."""
+    out = np.full(len(qids), default, dtype=dtype)
+    if len(keys):
+        k = np.asarray(keys, dtype=np.int64)
+        v = np.asarray(values, dtype=dtype)
+        pos = np.searchsorted(qids, k)
+        ok = (pos < len(qids))
+        ok[ok] &= qids[pos[ok]] == k[ok]
+        out[pos[ok]] = v[ok]
+    return out
 
 
 def _score_range_broadcast(pdf: pd.DataFrame, groups, dl, k, mode, k1, b,
@@ -453,8 +469,10 @@ def _score_range_broadcast(pdf: pd.DataFrame, groups, dl, k, mode, k1, b,
     term's cross-range chain is still doc-ascending), then every query
     assembles its term_rows by dict lookup. Emitting top-k per GROUP of
     ranges is exact: any k docs that beat a doc within the group also
-    beat it globally. ``only_groups``: {query_id: _g} — score a query
-    only in its listed slot group (the θ-seed pre-pass)."""
+    beat it globally. ``groups`` is the _wqt_groups numpy pack;
+    ``seeds`` / ``only_groups`` are pack-aligned arrays (θ0 per query,
+    -1.0 = unseeded; slot group per query, -1 = skip — the θ-seed
+    pre-pass scores each query only in its densest slot group)."""
     from word2doc_spark.query.kcache import TaskCache
     tids = pdf["term_id"].to_numpy()
     dlos = pdf["doc_lo"].to_numpy()
@@ -472,14 +490,25 @@ def _score_range_broadcast(pdf: pd.DataFrame, groups, dl, k, mode, k1, b,
     # per-task byte-bounded decode cache; chain cache keys are the
     # term_ids themselves (content-stable — one chain per term per task)
     cache = TaskCache()
-    for qid, terms in groups:
-        if only_groups is not None and only_groups.get(qid) != g:
+    # unpack ONCE per task to plain python scalars (C-speed tolist);
+    # seeds / only_groups arrive as pack-aligned arrays, not dicts
+    qids_l, offs = groups[0].tolist(), groups[1].tolist()
+    tids_l = groups[2].tolist()
+    w_l, idf_l = groups[3].tolist(), groups[4].tolist()
+    og_l = only_groups.tolist() if only_groups is not None else None
+    seed_l = seeds.tolist() if seeds is not None else None
+    chains_get = chains.get
+    for i, qid in enumerate(qids_l):
+        if og_l is not None and og_l[i] != g:
             continue
-        term_rows = [(w, idf, chains[t], t) for t, w, idf in terms
-                     if t in chains]
+        term_rows = []
+        for j in range(offs[i], offs[i + 1]):
+            ch = chains_get(tids_l[j])
+            if ch is not None:
+                term_rows.append((w_l[j], idf_l[j], ch, tids_l[j]))
         if not term_rows:
             continue
-        theta0 = seeds.get(qid, -1.0) if seeds else -1.0
+        theta0 = seed_l[i] if seed_l is not None else -1.0
         for doc, score in topk_fn(term_rows, k, mode, k1, b, avgdl, dl,
                                   theta0=theta0, cache=cache):
             out_q.append(qid)
@@ -713,7 +742,7 @@ def _score_ranges_broadcast(spark, index_dir, term_pred, config, wqt,
     # merge round-trip (~0.5 s of fixed stage cost); a big batch's
     # candidates must never explode into Arrow rows (a 20k-query batch
     # emits ~10^7) — they travel packed and merge vectorized
-    pack = len(groups) * sp * k > _PACK_MIN_CANDIDATES
+    pack = len(groups[0]) * sp * k > _PACK_MIN_CANDIDATES
     out_schema = CAND_BLOB_SCHEMA if pack else CAND_SCHEMA
     qb = sp if pack else None
 
@@ -772,10 +801,15 @@ def _theta_seeds_broadcast(spark, index_dir, term_pred, config, wqt,
         "query_id long, term_id long"))
     best = _densest_ranges(spark, index_dir, term_pred, config,
                            qterms, segs_meta=segs_meta).collect()
-    only_groups = {int(r["query_id"]): slots[int(r["range_id"]) % sp]
-                   for r in best}
-    if not only_groups:
+    if not best:
         return None
+    # pack-aligned int64 array (default -1 = query has no densest range
+    # → skipped in the seed pass), shipped instead of a 40k-entry dict
+    only_groups = _align_to_pack(
+        groups[0],
+        [int(r["query_id"]) for r in best],
+        [slots[int(r["range_id"]) % sp] for r in best],
+        default=-1, dtype=np.int64)
 
     run_seed = _broadcast_runner(index_dir, bid, groups, k, mode, k1, b,
                                  avgdl, topk_fn, sp, sp,
@@ -786,8 +820,14 @@ def _theta_seeds_broadcast(spark, index_dir, term_pred, config, wqt,
     kth = (_merge_topk_blobs(seed_cand, k, sp, slot_arr)
            .filter(F.col("rank") == k)
            .select("query_id", "score").collect())
-    return {int(r["query_id"]): float(np.nextafter(r["score"], -np.inf))
-            for r in kth} or None
+    if not kth:
+        return None
+    # θ0 just below each k-th score, aligned to the pack (-1.0 = unseeded)
+    return _align_to_pack(
+        groups[0],
+        [int(r["query_id"]) for r in kth],
+        [float(np.nextafter(r["score"], -np.inf)) for r in kth],
+        default=-1.0, dtype=np.float64)
 
 
 def _theta_seeds_distributed(spark, index_dir, term_pred, config, qdf,

@@ -275,8 +275,13 @@ def main():
         f"through the extractor; {n_q} DrQA queries, k=10).",
         "Efficiency = throughput(4N) / (4 × throughput(N)). local-mode 4N",
         "shares one JVM/heap and one memory bus, so this UNDER-states",
-        "multi-executor scaling; partition counts scale with cores",
-        "(shuffle partitions = 4×cores) as they would on a cluster.",
+        "multi-executor scaling. The JOB SHAPE is pinned at both levels",
+        "(shuffle partitions = 128, n_ranges = 128): partitioning is a",
+        "property of the data, not the cluster — a real cluster runs the",
+        "same 10k-partition job on 100 or 400 executors. (Rounds ≤4 scaled",
+        "shuffle partitions with cores, which made 4N score 4× the range",
+        "groups per query and merge 4× the candidates — N and 4N were",
+        "different jobs, and the inflation was booked as scaling loss.)",
         "",
         f"**Hardware ceilings**: a pure-python multiprocessing busy loop on",
         f"this VM scales at only **{hw_eff:.2f}** efficiency from {n} to",

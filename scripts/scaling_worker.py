@@ -64,6 +64,17 @@ def main():
     p.add_argument("--shards", type=int, default=4)
     p.add_argument("--n-ranges", type=int, default=128)
     p.add_argument("--phase", default="all", choices=["all", "build", "query"])
+    p.add_argument("--shuffle-partitions", type=int, default=128,
+                   help="pinned at BOTH parallelism levels: partitioning "
+                        "is a property of the DATA (split sizes, range "
+                        "layout), not of cluster size — a real cluster "
+                        "runs the same 10k-partition job on 100 or 400 "
+                        "executors. Scaling shuffle partitions with cores "
+                        "(the pre-r5 convention, 4×cores) made N and 4N "
+                        "run DIFFERENT jobs: the slot-group count tracks "
+                        "shuffle partitions, so 4N scored 4× the range "
+                        "groups per query and merged 4× the candidates — "
+                        "a workload inflation booked as scaling loss.")
     p.add_argument("--only", default=None,
                    help="comma subset of query sub-phases to run "
                         "(wand,fast,bm25,exact) — lets one orchestration "
@@ -83,7 +94,8 @@ def main():
     spark = (
         SparkSession.builder.master(f"local[{args.cpus}]")
         .appName(f"w2d-scaling-{args.cpus}")
-        .config("spark.sql.shuffle.partitions", str(args.cpus * 4))
+        .config("spark.sql.shuffle.partitions",
+                str(args.shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "false")

@@ -419,6 +419,45 @@ def _drain_unpersist() -> None:
             df.unpersist()
         except Exception:
             pass
+    while _PENDING_BC_DESTROY:
+        bc = _PENDING_BC_DESTROY.pop()
+        try:
+            bc.destroy()
+        except Exception:
+            pass
+
+
+# query-pack broadcasts live until the START of the next search call
+# (same lazy-evaluation reason as _PENDING_UNPERSIST: the caller's job on
+# the returned DataFrame runs after this function exits)
+_PENDING_BC_DESTROY: list = []
+
+# worker-side unpacked query packs, keyed by the pack's uuid token (never
+# object identity — id() can be reused after GC). A batch's pack is
+# unpacked to plain python scalars ONCE PER WORKER PROCESS instead of
+# once per task: C-speed tolist, but 128 range-group tasks × 5 arrays of
+# a 40k-query batch was still ~2 s of aggregate CPU, and the pack itself
+# rode the closure (≈6 MB pickled into EVERY task binary → ~0.8 GB of
+# JVM→python pipe traffic per batch at sp=128 — bus-bound, so it taxed
+# the 4N level hardest). As a Spark broadcast variable the pack crosses
+# to each worker once and is registry-cached across tasks.
+_GROUPS_UNPACK_CACHE: dict = {}
+_GROUPS_UNPACK_MAX = 2
+
+
+def _unpack_groups_bc(bc) -> tuple:
+    """(qids, offsets, tids, w, idf) python lists from a broadcast query
+    pack, cached per worker process by the pack's token."""
+    token, groups = bc.value
+    got = _GROUPS_UNPACK_CACHE.get(token)
+    if got is None:
+        got = (groups[0].tolist(), groups[1].tolist(),
+               groups[2].tolist(), groups[3].tolist(),
+               groups[4].tolist())
+        while len(_GROUPS_UNPACK_CACHE) >= _GROUPS_UNPACK_MAX:
+            _GROUPS_UNPACK_CACHE.pop(next(iter(_GROUPS_UNPACK_CACHE)))
+        _GROUPS_UNPACK_CACHE[token] = got
+    return got
 
 
 def _wqt_groups(wqt: pd.DataFrame) -> tuple:
@@ -458,8 +497,8 @@ def _align_to_pack(qids: np.ndarray, keys, values, default, dtype):
     return out
 
 
-def _score_range_broadcast(pdf: pd.DataFrame, groups, dl, k, mode, k1, b,
-                           avgdl, topk_fn, seeds=None,
+def _score_range_broadcast(pdf: pd.DataFrame, unpacked, dl, k, mode, k1,
+                           b, avgdl, topk_fn, seeds=None,
                            only_groups=None,
                            n_qb: int | None = None) -> pd.DataFrame:
     """Score one slot-group of doc ranges for every query in ``groups``.
@@ -469,7 +508,8 @@ def _score_range_broadcast(pdf: pd.DataFrame, groups, dl, k, mode, k1, b,
     term's cross-range chain is still doc-ascending), then every query
     assembles its term_rows by dict lookup. Emitting top-k per GROUP of
     ranges is exact: any k docs that beat a doc within the group also
-    beat it globally. ``groups`` is the _wqt_groups numpy pack;
+    beat it globally. ``unpacked`` is the _wqt_groups pack as plain
+    python lists (worker-cached — see _unpack_groups_bc);
     ``seeds`` / ``only_groups`` are pack-aligned arrays (θ0 per query,
     -1.0 = unseeded; slot group per query, -1 = skip — the θ-seed
     pre-pass scores each query only in its densest slot group)."""
@@ -490,11 +530,9 @@ def _score_range_broadcast(pdf: pd.DataFrame, groups, dl, k, mode, k1, b,
     # per-task byte-bounded decode cache; chain cache keys are the
     # term_ids themselves (content-stable — one chain per term per task)
     cache = TaskCache()
-    # unpack ONCE per task to plain python scalars (C-speed tolist);
+    # pack already unpacked to plain python scalars, once per worker;
     # seeds / only_groups arrive as pack-aligned arrays, not dicts
-    qids_l, offs = groups[0].tolist(), groups[1].tolist()
-    tids_l = groups[2].tolist()
-    w_l, idf_l = groups[3].tolist(), groups[4].tolist()
+    qids_l, offs, tids_l, w_l, idf_l = unpacked
     og_l = only_groups.tolist() if only_groups is not None else None
     seed_l = seeds.tolist() if seeds is not None else None
     chains_get = chains.get
@@ -656,12 +694,15 @@ def _prune_cached_segs(segs: DataFrame, term_ids: list) -> DataFrame:
     return segs.join(F.broadcast(wanted), "term_id", "left_semi")
 
 
-def _broadcast_runner(index_dir, bid, groups, k, mode, k1, b, avgdl,
+def _broadcast_runner(index_dir, bid, bc, k, mode, k1, b, avgdl,
                       topk_fn, n_qb, sp, seeds=None, only_groups=None):
-    """Scoring closure for the broadcast shape. bm25 dl blobs load
-    LAZILY inside the task (_dl_for_ranges: per-range process cache +
-    one pyarrow read for misses) — no cogroup and no per-batch dl
-    shuffle; the physical plan is identical for both score modes."""
+    """Scoring closure for the broadcast shape. The query pack travels
+    as the Spark broadcast variable ``bc`` (once per worker, not once
+    per task — see _unpack_groups_bc); seeds/only_groups are small
+    pack-aligned arrays and ride the closure. bm25 dl blobs load LAZILY
+    inside the task (_dl_for_ranges: per-range process cache + one
+    pyarrow read for misses) — no cogroup and no per-batch dl shuffle;
+    the physical plan is identical for both score modes."""
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
@@ -673,7 +714,8 @@ def _broadcast_runner(index_dir, bid, groups, k, mode, k1, b, avgdl,
                 "score": pd.Series([], dtype="float64")})
         dl = (_dl_for_ranges(index_dir, bid, pdf["range_id"].unique())
               if mode == "bm25" else None)
-        return _score_range_broadcast(pdf, groups, dl, k, mode, k1, b,
+        return _score_range_broadcast(pdf, _unpack_groups_bc(bc), dl, k,
+                                      mode, k1, b,
                                       avgdl, topk_fn, seeds=seeds,
                                       only_groups=only_groups, n_qb=n_qb)
 
@@ -689,6 +731,11 @@ def _score_ranges_broadcast(spark, index_dir, term_pred, config, wqt,
     at build time). In serving mode (repeat batches on one build) even
     that per-batch exchange disappears — see _serving_segs."""
     groups = _wqt_groups(wqt)
+    # one broadcast of the (token, pack) tuple serves the seed pass and
+    # the main pass; destroyed at the start of the next search call
+    import uuid
+    bc = spark.sparkContext.broadcast((uuid.uuid4().hex, groups))
+    _PENDING_BC_DESTROY.append(bc)
     # group key: ranges are mapped ROUND-ROBIN onto ints that Spark
     # hash-partitions to distinct shuffle partitions (build._partition_slots
     # — grouping 128 range keys straight into 128 partitions loses ~2× to
@@ -732,7 +779,7 @@ def _score_ranges_broadcast(spark, index_dir, term_pred, config, wqt,
             segs = segs.persist(StorageLevel.MEMORY_AND_DISK)
             _PENDING_UNPERSIST.append(segs)
         seeds = _theta_seeds_broadcast(spark, index_dir, term_pred,
-                                       config, wqt, groups, segs,
+                                       config, wqt, groups, bc, segs,
                                        slots, sp, k, mode,
                                        k1, b, avgdl, topk_fn, bid,
                                        segs_meta=cached)
@@ -746,7 +793,7 @@ def _score_ranges_broadcast(spark, index_dir, term_pred, config, wqt,
     out_schema = CAND_BLOB_SCHEMA if pack else CAND_SCHEMA
     qb = sp if pack else None
 
-    run = _broadcast_runner(index_dir, bid, groups, k, mode, k1, b,
+    run = _broadcast_runner(index_dir, bid, bc, k, mode, k1, b,
                             avgdl, topk_fn, qb, sp, seeds=seeds)
     cand = segs.groupBy("_g").applyInPandas(run, out_schema)
     if pack:
@@ -786,7 +833,7 @@ def _densest_ranges(spark, index_dir, term_pred, config,
 
 
 def _theta_seeds_broadcast(spark, index_dir, term_pred, config, wqt,
-                           groups, segs, slots, sp,
+                           groups, bc, segs, slots, sp,
                            k, mode, k1, b, avgdl, topk_fn, bid=None,
                            segs_meta=None):
     """{query_id: θ0} for the broadcast path: pick each query's densest
@@ -811,7 +858,7 @@ def _theta_seeds_broadcast(spark, index_dir, term_pred, config, wqt,
         [slots[int(r["range_id"]) % sp] for r in best],
         default=-1, dtype=np.int64)
 
-    run_seed = _broadcast_runner(index_dir, bid, groups, k, mode, k1, b,
+    run_seed = _broadcast_runner(index_dir, bid, bc, k, mode, k1, b,
                                  avgdl, topk_fn, sp, sp,
                                  only_groups=only_groups)
     seed_cand = segs.groupBy("_g").applyInPandas(

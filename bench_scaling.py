@@ -237,10 +237,20 @@ def main():
          lo.get("n_queries_sel", n_q * 10), "q/s"),
         ("batch query exact join (drqa)", "query_exact_s", n_q, "q/s"),
     ]
-    print("measuring hardware CPU-scaling ceiling ...", file=sys.stderr)
-    hw_eff = _hw_probe()
-    print("measuring memory-bandwidth scaling ceiling ...", file=sys.stderr)
-    membw_eff = _membw_probe()
+    # the ceiling is a property of the SUBSTRATE, which steal depresses
+    # unpredictably per sample — so sample each probe several times and
+    # take the MAX (steal only lowers a sample; the best sample is the
+    # closest estimate of the true ceiling, and dividing by the max keeps
+    # the normalized column CONSERVATIVE — a steal-depressed single-shot
+    # probe would inflate it)
+    print("measuring hardware CPU-scaling ceiling (3 samples) ...",
+          file=sys.stderr)
+    hw_samples = [_hw_probe() for _ in range(3)]
+    hw_eff = max(hw_samples)
+    print("measuring memory-bandwidth scaling ceiling (3 samples) ...",
+          file=sys.stderr)
+    membw_samples = [_membw_probe() for _ in range(3)]
+    membw_eff = max(membw_samples)
     rows = []
     for label, key, units, unit in phases:
         if key not in lo or key not in hi:
@@ -304,10 +314,12 @@ def main():
                   f" {eff / hw_eff:.2f} |")
     md += [
         "",
-        "The ceiling probe is itself steal-noisy (a point sample at one",
-        "moment); a phase whose normalized value exceeds 1.0 simply ran",
-        "during a quieter window than the probe — read raw efficiencies",
-        "as the ground truth and the normalized column as context.",
+        "Each ceiling is the MAX of 3 probe samples (steal only lowers a",
+        "sample, so the best sample is the closest estimate of the true",
+        "substrate ceiling, and dividing by the max keeps the normalized",
+        "column conservative — per-sample values are in",
+        "`scaling_summary.json`). Read raw efficiencies as the ground",
+        "truth and the normalized column as context.",
         "",
         "**Reading the ratios round-over-round**: round 3's flagship",
         "fast-DAAT ratio (0.86 raw) was measured when the engine served",
@@ -425,6 +437,8 @@ def main():
         "n": n, "n_docs": lo["n_docs"], "n_queries": n_q,
         "hw_ceiling_cpu": round(hw_eff, 4),
         "hw_ceiling_membw": round(membw_eff, 4),
+        "hw_ceiling_cpu_samples": [round(x, 4) for x in hw_samples],
+        "hw_ceiling_membw_samples": [round(x, 4) for x in membw_samples],
         "phases": [
             {"label": label, "unit": unit,
              "thr_lo": round(a, 1), "thr_hi": round(b, 1),

@@ -358,3 +358,23 @@ def test_align_to_pack():
     out = _align_to_pack(qids, [51, 3], [8, 4], default=-1,
                          dtype=np.int64)
     assert out.tolist() == [4, -1, -1, -1]
+
+
+def test_stale_dataframe_survives_broadcast_drain(spark, built):
+    """A caller may lawfully execute a PREVIOUS search's lazy DataFrame
+    after a newer search call has drained the pending broadcasts — the
+    drain must unpersist (re-broadcast on demand), never destroy."""
+    from word2doc_spark.query.fast import search_fast
+
+    qdf = spark.createDataFrame(QUERIES, "query_id long, query string")
+    df1 = search_fast(spark, built, qdf, k=3, score_mode="drqa")
+    want = sorted((r["query_id"], r["rank"], r["doc_id"])
+                  for r in df1.collect())
+    assert want
+    # a second search drains df1's broadcast...
+    search_fast(spark, built, qdf.limit(2), k=3,
+                score_mode="drqa").count()
+    # ...and df1 must still re-execute to identical rows
+    got = sorted((r["query_id"], r["rank"], r["doc_id"])
+                 for r in df1.collect())
+    assert got == want

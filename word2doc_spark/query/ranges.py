@@ -422,14 +422,18 @@ def _drain_unpersist() -> None:
     while _PENDING_BC_DESTROY:
         bc = _PENDING_BC_DESTROY.pop()
         try:
-            bc.destroy()
+            # unpersist, NOT destroy: a caller may lawfully run a PREVIOUS
+            # search's lazy DataFrame after a newer search call; destroy
+            # would fail its tasks, unpersist just re-broadcasts on demand
+            bc.unpersist(blocking=False)
         except Exception:
             pass
 
 
-# query-pack broadcasts live until the START of the next search call
-# (same lazy-evaluation reason as _PENDING_UNPERSIST: the caller's job on
-# the returned DataFrame runs after this function exits)
+# query-pack broadcasts are released (executor copies dropped) at the
+# START of the next search call (same lazy-evaluation reason as
+# _PENDING_UNPERSIST: the caller's job on the returned DataFrame runs
+# after this function exits)
 _PENDING_BC_DESTROY: list = []
 
 # worker-side unpacked query packs, keyed by the pack's uuid token (never

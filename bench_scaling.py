@@ -286,7 +286,8 @@ def main():
         "Efficiency = throughput(4N) / (4 × throughput(N)). local-mode 4N",
         "shares one JVM/heap and one memory bus, so this UNDER-states",
         "multi-executor scaling. The JOB SHAPE is pinned at both levels",
-        "(shuffle partitions = 128, n_ranges = 128): partitioning is a",
+        f"(shuffle partitions = {lo.get('shuffle_partitions', 64)},"
+        " n_ranges = 128): partitioning is a",
         "property of the data, not the cluster — a real cluster runs the",
         "same 10k-partition job on 100 or 400 executors. (Rounds ≤4 scaled",
         "shuffle partitions with cores, which made 4N score 4× the range",
@@ -435,6 +436,7 @@ def main():
     summary = {
         "generated": stamp,
         "n": n, "n_docs": lo["n_docs"], "n_queries": n_q,
+        "shuffle_partitions": lo.get("shuffle_partitions"),
         "hw_ceiling_cpu": round(hw_eff, 4),
         "hw_ceiling_membw": round(membw_eff, 4),
         "hw_ceiling_cpu_samples": [round(x, 4) for x in hw_samples],

@@ -1,23 +1,36 @@
 #!/usr/bin/env python
 """Deep-list end-to-end bench: block-max WAND in ITS regime, through Spark.
 
-The kernel depth-crossover probe (bench_scaling._wand_depth_probe) shows
-WAND beating the vectorized full scan once per-range dense lists reach
-~10^5 postings (14× at 10^6) — the layout the 10^12-doc sizing produces
-(range_width 32M docs). Every end-to-end bench row so far ran the
-500k/128-range layout (~10^3-posting cells) where the cached full scan
-wins. This bench builds that DEEP layout for real at local scale: the 1M
-synthetic corpus indexed with n_ranges=8 puts ~125k matched postings per
-range under a rare+all-dense-topics query (5 topic head words, df≈200k
-each, + one tok<digits> rare term, df≈80), k=1 — then runs the same
-query batch through search_fast, search_wand unseeded, and search_wand
-seed_theta=True, reporting q/s plus sampled per-worker block skip/decode
-counters (the θ-seeded short-circuit is what lets a range task dismiss a
-dense-only range in O(terms) without decoding anything).
+Two configs, each a row set in BENCH/deep_summary.json (rendered into
+BASELINE.md by scripts/sync_baseline_counts.py):
 
-Usage: python scripts/bench_deep.py [--cpus 32] [--n-queries 2000]
-Writes BENCH/deep_summary.json; BENCH/BASELINE.md's deep section is
-rendered from that by scripts/sync_baseline_counts.py.
+* ``deep8`` (default): the DEPTH regime. The kernel depth-crossover probe
+  (bench_scaling._wand_depth_probe) shows WAND beating the vectorized
+  full scan once per-range dense lists reach ~10^5 postings (14x at
+  10^6) — the layout the 10^12-doc sizing produces (range_width 32M
+  docs). The 1M synthetic corpus indexed with n_ranges=8 puts ~125k
+  matched postings per range under a rare+all-dense-topics query
+  (5 topic head words, df~200k each, + one tok<digits> rare term,
+  df~80), k=1.
+
+* ``ranges1024`` (--config ranges1024): the MANY-RANGES regime — what
+  θ seeding is FOR. Per-range θ restarts cost pruning power linearly in
+  n_ranges (ranges.SEED_MIN_RANGES); at n_ranges=1024 a selective query
+  (bare-number rare term, df~10, + one dense topic word) has its rare
+  term PRESENT in ≲10 ranges, so with a seed θ0 that carries the rare
+  idf mass (see ranges._densest_ranges), the ~1014 dense-only ranges
+  fail the chain-ub short-circuit in O(terms) without decoding a block.
+  Unseeded WAND must re-earn θ per range; the full scan decodes
+  everything. seed_theta=True is explicit here: the auto DEPTH gate
+  stays off at this shallow per-cell layout — the gate keys on list
+  depth, and this config demonstrates the n_ranges axis.
+
+Each config runs the same query batch through search_fast, search_wand
+unseeded, and search_wand seed_theta=True, reporting q/s plus sampled
+per-worker block skip/decode counters.
+
+Usage: python scripts/bench_deep.py [--config deep8|ranges1024]
+                                    [--cpus 32] [--n-queries N]
 """
 
 import argparse
@@ -31,11 +44,30 @@ sys.path.insert(0, REPO)
 
 
 def deep_queries(n: int) -> list:
-    """rare term (df≈80) + one dense head word per topic (df≈200k each):
+    """rare term (df~80) + one dense head word per topic (df~200k each):
     the rare term's idf² contribution dominates every dense upper bound,
     so a seeded θ lets WAND short-circuit all dense-only ranges."""
     return [(i, f"tok{(i * 7919) % 100000} spark index crawl café query")
             for i in range(n)]
+
+
+def selective_queries(n: int) -> list:
+    """bare-number rare term (a title number, df~10 — present in only a
+    handful of the 1024 ranges) + one dense topic head word: the
+    many-ranges seeding regime."""
+    from word2doc_spark.sources.pages import _TOPICS
+    words = [ws[0] for _, ws in _TOPICS]
+    return [(i, f"{(i * 7919) % 100000} {words[i % len(words)]}")
+            for i in range(n)]
+
+
+CONFIGS = {
+    "deep8": {"n_ranges": 8, "queries": deep_queries,
+              "index_dir": "/tmp/w2d_deep_idx_1m", "n_queries": 8000},
+    "ranges1024": {"n_ranges": 1024, "queries": selective_queries,
+                   "index_dir": "/tmp/w2d_deep_idx_1m_r1024",
+                   "n_queries": 8000},
+}
 
 
 def _wand_stats_sampled(spark, reset: bool = False, n_tasks: int = 256):
@@ -75,14 +107,18 @@ def _wand_stats_sampled(spark, reset: bool = False, n_tasks: int = 256):
 
 def main():
     p = argparse.ArgumentParser()
+    p.add_argument("--config", default="deep8", choices=sorted(CONFIGS))
     p.add_argument("--cpus", type=int, default=32)
     p.add_argument("--corpus", default="/tmp/w2d_scaling_corpus_1000000")
-    p.add_argument("--index-dir", default="/tmp/w2d_deep_idx_1m")
-    p.add_argument("--n-queries", type=int, default=2000)
-    p.add_argument("--n-ranges", type=int, default=8)
+    p.add_argument("--index-dir", default=None)
+    p.add_argument("--n-queries", type=int, default=None)
     p.add_argument("--k", type=int, default=1)
     p.add_argument("--reps", type=int, default=2)
     args = p.parse_args()
+    conf = CONFIGS[args.config]
+    index_dir = args.index_dir or conf["index_dir"]
+    n_queries = args.n_queries or conf["n_queries"]
+    make_queries = conf["queries"]
 
     from pyspark.sql import SparkSession
     from word2doc_spark.config import IndexConfig
@@ -104,51 +140,52 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     cfg = IndexConfig(hash_size=2 ** 24, num_shards=4,
-                      n_ranges=args.n_ranges)
-    if not Manifest(args.index_dir).is_published():
+                      n_ranges=conf["n_ranges"])
+    if not Manifest(index_dir).is_published():
         if not os.path.exists(os.path.join(args.corpus, "_SUCCESS")):
             print(f"generating corpus {args.corpus} ...", file=sys.stderr)
             (synthetic_pages_distributed(spark, 1_000_000,
                                          num_partitions=128)
              .write.mode("overwrite").parquet(args.corpus))
         pages = spark.read.parquet(args.corpus)
-        print("building deep index ...", file=sys.stderr)
-        build_index(spark, pages, args.index_dir, cfg, input_token="deep")
+        print(f"building {args.config} index ...", file=sys.stderr)
+        build_index(spark, pages, index_dir, cfg,
+                    input_token=f"deep_{args.config}")
 
-    _, stats = Manifest(args.index_dir).load()
-    qdf = spark.createDataFrame(deep_queries(args.n_queries),
+    _, stats = Manifest(index_dir).load()
+    qdf = spark.createDataFrame(make_queries(n_queries),
                                 "query_id long, query string")
     # warmup (untimed, identical for every contender): parquet footers,
     # codegen, python workers, serving-cache materialization, dl decode
-    warm = spark.createDataFrame(deep_queries(3),
+    warm = spark.createDataFrame(make_queries(3),
                                  "query_id long, query string")
     for _ in range(2):
-        search_fast(spark, args.index_dir, warm, k=args.k,
+        search_fast(spark, index_dir, warm, k=args.k,
                     score_mode="drqa").count()
-        search_wand(spark, args.index_dir, warm, k=args.k,
+        search_wand(spark, index_dir, warm, k=args.k,
                     score_mode="drqa", seed_theta=False).count()
 
     contenders = [
-        ("fast", lambda: search_fast(spark, args.index_dir, qdf, k=args.k,
+        ("fast", lambda: search_fast(spark, index_dir, qdf, k=args.k,
                                      score_mode="drqa")),
         ("wand_unseeded", lambda: search_wand(
-            spark, args.index_dir, qdf, k=args.k, score_mode="drqa",
+            spark, index_dir, qdf, k=args.k, score_mode="drqa",
             seed_theta=False)),
         ("wand_seeded", lambda: search_wand(
-            spark, args.index_dir, qdf, k=args.k, score_mode="drqa",
+            spark, index_dir, qdf, k=args.k, score_mode="drqa",
             seed_theta=True)),
     ]
-    out = {"n_docs": int(stats["n_docs"]), "n_ranges": args.n_ranges,
-           "range_width": int(stats["range_width"]),
-           "n_queries": args.n_queries, "k": args.k, "cpus": args.cpus,
-           "phases": {}}
+    entry = {"n_docs": int(stats["n_docs"]), "n_ranges": conf["n_ranges"],
+             "range_width": int(stats["range_width"]),
+             "n_queries": n_queries, "k": args.k, "cpus": args.cpus,
+             "phases": {}}
     rows_ref = None
     for name, fn in contenders:
         walls, st = [], None
         for rep in range(args.reps):
             _wand_stats_sampled(spark, reset=True)
             t0 = time.time()
-            n = fn().count()
+            fn().count()
             walls.append(round(time.time() - t0, 2))
             st = _wand_stats_sampled(spark)
         # result-identity across contenders (the win must not come from
@@ -175,20 +212,31 @@ def main():
             # tie-flips must be rare — anything more is a real bug
             assert amb <= max(2, len(got) // 200), \
                 f"{name}: {amb} doc mismatches beyond tie ambiguity"
-        out["phases"][name] = {
+        entry["phases"][name] = {
             "walls_s": walls, "wall_s": min(walls),
-            "qps": round(args.n_queries / min(walls), 1),
+            "qps": round(n_queries / min(walls), 1),
             "blocks_decoded_sampled": st["blocks_decoded"],
             "blocks_skipped_sampled": st["blocks_skipped"],
             "workers_sampled": st["workers_sampled"],
         }
-        print(name, out["phases"][name], file=sys.stderr)
+        print(name, entry["phases"][name], file=sys.stderr)
     spark.stop()
 
+    # merge this config's rows into the summary, preserving the others
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "deep_summary.json"), "w") as f:
+    path = os.path.join(REPO, "BENCH", "deep_summary.json")
+    out = {"configs": {}}
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        if "configs" in prev:
+            out = prev
+        elif "phases" in prev:  # pre-config single-entry format
+            out["configs"]["deep8"] = prev
+    out["configs"][args.config] = entry
+    with open(path, "w") as f:
         json.dump(out, f, indent=1)
-    print(json.dumps(out))
+    print(json.dumps({args.config: entry}))
 
 
 if __name__ == "__main__":

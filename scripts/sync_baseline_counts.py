@@ -58,29 +58,44 @@ def scaling_block() -> str | None:
     return "\n".join(lines)
 
 
+_DEEP_BLURB = {
+    "deep8": "the DEPTH regime: rare+all-dense queries over 125k-posting "
+             "per-range lists",
+    "ranges1024": "the MANY-RANGES regime θ seeding serves: selective "
+                  "rare(df~10)+dense queries, rare term absent from "
+                  "~99% of ranges",
+}
+
+
 def deep_block() -> str | None:
     path = os.path.join(REPO, "BENCH", "deep_summary.json")
     if not os.path.exists(path):
         return None
     with open(path) as f:
         d = json.load(f)
-    lines = [
-        f"Deep-list end-to-end ({d['n_docs']:,} docs, "
-        f"{d['n_ranges']} ranges × {d['range_width']:,}-doc width, "
-        f"{d['n_queries']} rare+dense queries, k={d['k']}, "
-        f"local[{d['cpus']}]; best-of reps, identical result rows "
-        "asserted across contenders):",
-        "",
-        "| path | wall s | q/s | blocks decoded (sampled) | "
-        "blocks skipped (sampled) |",
-        "|---|---|---|---|---|",
-    ]
-    for name in ("fast", "wand_unseeded", "wand_seeded"):
-        p = d["phases"][name]
-        lines.append(
-            f"| {name} | {p['wall_s']} | {p['qps']:,} | "
-            f"{p['blocks_decoded_sampled']:,} | "
-            f"{p['blocks_skipped_sampled']:,} |")
+    configs = d["configs"] if "configs" in d else {"deep8": d}
+    lines = []
+    for cname in sorted(configs):
+        c = configs[cname]
+        lines += [
+            f"Deep-list end-to-end `{cname}` ({c['n_docs']:,} docs, "
+            f"{c['n_ranges']} ranges × {c['range_width']:,}-doc width, "
+            f"{c['n_queries']} queries, k={c['k']}, "
+            f"local[{c['cpus']}]; best-of reps, identical result rows "
+            f"asserted across contenders) — "
+            f"{_DEEP_BLURB.get(cname, '')}:",
+            "",
+            "| path | wall s | q/s | blocks decoded (sampled) | "
+            "blocks skipped (sampled) |",
+            "|---|---|---|---|---|",
+        ]
+        for name in ("fast", "wand_unseeded", "wand_seeded"):
+            p = c["phases"][name]
+            lines.append(
+                f"| {name} | {p['wall_s']} | {p['qps']:,} | "
+                f"{p['blocks_decoded_sampled']:,} | "
+                f"{p['blocks_skipped_sampled']:,} |")
+        lines.append("")
     return "\n".join(lines)
 
 

@@ -183,3 +183,41 @@ def test_wand_seeding_distributed_identity(spark, built, mode):
     for a, b in zip(sorted(seeded, key=key), sorted(exact, key=key)):
         assert math.isclose(a["score"], b["score"], rel_tol=1e-9,
                             abs_tol=1e-12)
+
+
+def test_seed_range_carries_rare_term_mass(spark, built):
+    """The θ-seed range choice ranks ranges by Σ w·idf of the terms
+    PRESENT in them (ranges._densest_ranges): for a rare+dense query the
+    chosen range must be one that actually CONTAINS the rare term's
+    postings — its k-th score then carries the rare idf mass, which is
+    what lets dense-only ranges fail wand_topk's chain-ub short-circuit
+    in O(terms). (A pure posting-count rule picks a dense range whose
+    k-th score lacks that mass.)"""
+    from word2doc_spark.index.manifest import Manifest
+    from word2doc_spark.query import ranges as R
+    from word2doc_spark.query.exact import (_matched_segments,
+                                            prepare_weighted_terms)
+
+    config, stats = Manifest(built).load()
+    n_docs = int(stats["n_docs"])
+    # "137" is a title number → df≈1 (max idf); the rest are topic words
+    qdf = spark.createDataFrame([(1, "137 spark shuffle partition")],
+                                "query_id long, query string")
+    _, term_pred, wqt, _ = prepare_weighted_terms(
+        spark, built, qdf, config, n_docs, False, "driver",
+        stats.get("build_id"))
+    rare_tid = int(wqt.loc[(wqt["w"] * wqt["idf"]).idxmax(), "term_id"])
+    qterms = spark.createDataFrame(
+        wqt[["query_id", "term_id", "w", "idf"]],
+        "query_id long, term_id long, w double, idf double")
+    best = R._densest_ranges(spark, built, term_pred, config,
+                             qterms).collect()
+    assert len(best) == 1
+    chosen = int(best[0]["range_id"])
+    rare_ranges = {
+        int(r["range_id"])
+        for r in _matched_segments(spark, built, [rare_tid],
+                                   config.num_shards)
+        .select("range_id").distinct().collect()}
+    assert rare_ranges, "fixture lost its rare term"
+    assert chosen in rare_ranges, (chosen, rare_ranges)

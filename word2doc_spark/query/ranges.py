@@ -293,8 +293,9 @@ def search_doc_partitioned(
     seed_theta (WAND): True, False, or 'auto' (seed only when the index
     has ≥ SEED_MIN_RANGES deep-segment doc ranges — where per-range θ
     restarts actually cost pruning power). The pre-pass scores, per
-    query, only its densest doc range (chosen from segment METADATA — a
-    payload-free column-pruned scan) and seeds every range task's pruning
+    query, only its seed range (the w·idf presence-mass winner over
+    payload-free segment METADATA — see _densest_ranges) and seeds every
+    range task's pruning
     threshold with just-below that range's k-th score. A range's local
     k-th score is ≤ the global k-th score, and the seed sits strictly
     below it, so a doc scoring ≥ the global k-th can never be pruned —
@@ -810,10 +811,26 @@ def _score_ranges_broadcast(spark, index_dir, term_pred, config, wqt,
 
 def _densest_ranges(spark, index_dir, term_pred, config,
                     qterms: DataFrame, segs_meta=None) -> DataFrame:
-    """(query_id, range_id) — each query's densest doc range, from
-    payload-free segment metadata joined executor-side against the query
-    terms. Ties break toward the smallest range_id (max of the
-    (np, -range_id) struct), matching the old driver-side logic.
+    """(query_id, range_id) — the doc range each query should SEED from,
+    chosen from payload-free segment metadata joined executor-side
+    against the weighted query terms (query_id, term_id, w, idf).
+
+    Ranking: per (query, range), primary key = Σ w·idf over the DISTINCT
+    matched terms PRESENT in the range (each term's per-doc contribution
+    is bounded by a multiple of w·idf, so presence mass tracks the best
+    score the range can possibly hold); tie-break = matched-posting count,
+    then smallest range_id. For a dense-only topical query every range
+    carries the same term set, the mass ties everywhere, and the np
+    tie-break reduces to the old most-postings rule. For a selective
+    rare+dense query the rare term's idf dominates the mass, so the seed
+    pass scores a range that actually CONTAINS rare-term docs — its k-th
+    score then carries the rare idf contribution, which is what lets
+    dense-only ranges fail the chain-ub short-circuit in O(terms)
+    (wand_topk theta0) instead of merely block-skipping. Any range's
+    k-th score is a valid θ0 (exactness never depends on this choice —
+    differential tests run both seeded and unseeded); this picks the
+    range whose θ0 prunes hardest.
+
     ``segs_meta``: serving-cache segment table to read the metadata from
     (in-memory columnar, payload column pruned) instead of parquet."""
     if segs_meta is not None:
@@ -826,10 +843,12 @@ def _densest_ranges(spark, index_dir, term_pred, config,
             .agg(F.sum("n_postings").alias("np")))
     dens = (meta.join(qterms, "term_id")
             .groupBy("query_id", "range_id")
-            .agg(F.sum("np").alias("np")))
+            .agg(F.sum(F.col("w") * F.col("idf")).alias("mass"),
+                 F.sum("np").alias("np")))
     best = (dens.groupBy("query_id")
             .agg(F.max(F.struct(
-                F.col("np"), (-F.col("range_id")).alias("nr"))).alias("b"))
+                F.col("mass"), F.col("np"),
+                (-F.col("range_id")).alias("nr"))).alias("b"))
             .select("query_id",
                     (-F.col("b").getField("nr")).cast("int")
                     .alias("range_id")))
@@ -840,16 +859,18 @@ def _theta_seeds_broadcast(spark, index_dir, term_pred, config, wqt,
                            groups, bc, segs, slots, sp,
                            k, mode, k1, b, avgdl, topk_fn, bid=None,
                            segs_meta=None):
-    """{query_id: θ0} for the broadcast path: pick each query's densest
-    doc range executor-side (metadata agg ⋈ broadcast query terms —
-    the driver collects O(Q) winner rows, never the O(terms × ranges)
-    metadata), score each query only in the slot GROUP holding that
-    range (a superset of the range — the k-th over any doc subset is
-    still ≤ the global k-th, so the seed stays valid), take the k-th
-    scores, seed just below them. bm25 dl loads lazily in-task."""
+    """{query_id: θ0} for the broadcast path: pick each query's seed
+    range executor-side (w·idf presence-mass over segment metadata ⋈
+    broadcast weighted query terms — see _densest_ranges; the driver
+    collects O(Q) winner rows, never the O(terms × ranges) metadata),
+    score each query only in the slot GROUP holding that range (a
+    superset of the range — the k-th over any doc subset is still ≤ the
+    global k-th, so the seed stays valid), take the k-th scores, seed
+    just below them. bm25 dl loads lazily in-task."""
     qterms = F.broadcast(spark.createDataFrame(
-        wqt[["query_id", "term_id"]].drop_duplicates(),
-        "query_id long, term_id long"))
+        wqt[["query_id", "term_id", "w", "idf"]].drop_duplicates(
+            ["query_id", "term_id"]),
+        "query_id long, term_id long, w double, idf double"))
     best = _densest_ranges(spark, index_dir, term_pred, config,
                            qterms, segs_meta=segs_meta).collect()
     if not best:
@@ -891,7 +912,7 @@ def _theta_seeds_distributed(spark, index_dir, term_pred, config, qdf,
     (query_id, theta0) DataFrame the caller broadcast-joins onto the
     main pass (capped at SEED_MAX_QUERIES rows — single-digit MB)."""
     best = _densest_ranges(spark, index_dir, term_pred, config,
-                           qdf.select("query_id", "term_id"))
+                           qdf.select("query_id", "term_id", "w", "idf"))
     seed_joined = joined.join(best, ["query_id", "range_id"],
                               "left_semi")
     seed_cand = _score_all_ranges(spark, index_dir, seed_joined, k, mode,

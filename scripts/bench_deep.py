@@ -70,41 +70,6 @@ CONFIGS = {
 }
 
 
-def _wand_stats_sampled(spark, reset: bool = False, n_tasks: int = 256):
-    """Sample the per-python-worker WAND pruning counters (or reset
-    them). The probe MUST run through the Arrow runner (mapInPandas):
-    pandas-UDF workers are a separate process pool from plain-RDD
-    python workers (verified empirically — zero pid overlap), so an
-    rdd.mapPartitions probe always reads zeros. Workers are reused
-    across jobs; 256 tiny Arrow tasks touch virtually all of them,
-    deduped by pid — 'sampled', not exact, and says so."""
-    import pandas as pd
-
-    def probe(it):
-        import os as _os
-        from word2doc_spark.query import wand as W
-        if reset:
-            W.reset_stats()
-            yield pd.DataFrame({"pid": [_os.getpid()], "bd": [0],
-                                "bs": [0]})
-        else:
-            s = W.get_stats()
-            yield pd.DataFrame({"pid": [_os.getpid()],
-                                "bd": [s["blocks_decoded"]],
-                                "bs": [s["blocks_skipped"]]})
-        for _ in it:
-            pass
-
-    # explicit repartition(n) is exempt from AQE coalescing, so all
-    # n_tasks Arrow tasks really run
-    rows = (spark.range(n_tasks).repartition(n_tasks)
-            .mapInPandas(probe, "pid long, bd long, bs long").collect())
-    by_pid = {r["pid"]: (r["bd"], r["bs"]) for r in rows}
-    return {"blocks_decoded": int(sum(v[0] for v in by_pid.values())),
-            "blocks_skipped": int(sum(v[1] for v in by_pid.values())),
-            "workers_sampled": len(by_pid)}
-
-
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="deep8", choices=sorted(CONFIGS))
@@ -121,6 +86,7 @@ def main():
     make_queries = conf["queries"]
 
     from pyspark.sql import SparkSession
+    from word2doc_spark.query.stats import sample_worker_stats
     from word2doc_spark.config import IndexConfig
     from word2doc_spark.index.build import build_index
     from word2doc_spark.index.manifest import Manifest
@@ -183,11 +149,11 @@ def main():
     for name, fn in contenders:
         walls, st = [], None
         for rep in range(args.reps):
-            _wand_stats_sampled(spark, reset=True)
+            sample_worker_stats(spark, reset=True)
             t0 = time.time()
             fn().count()
             walls.append(round(time.time() - t0, 2))
-            st = _wand_stats_sampled(spark)
+            st = sample_worker_stats(spark)
         # result-identity across contenders (the win must not come from
         # different answers). Scores compare at 1e-9 rel; the doc must
         # match only when the score is unambiguous — exactly-tied docs

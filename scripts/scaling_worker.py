@@ -93,6 +93,7 @@ def main():
     from word2doc_spark.config import IndexConfig
     from word2doc_spark.index.build import build_index
     from word2doc_spark.query.exact import search_exact
+    from word2doc_spark.query.stats import sample_worker_stats
     from word2doc_spark.query.fast import search_fast
     from word2doc_spark.query.wand import search_wand
 
@@ -173,18 +174,22 @@ def main():
                 sq2 = spark.createDataFrame(scaling_queries(n_small),
                                             "query_id long, query string")
                 out["n_queries_fast_small"] = n_small
+                sample_worker_stats(spark, reset=True)
                 t0 = time.time()
                 search_fast(spark, idx, sq2, k=10,
                             score_mode="drqa").count()
                 out["query_fast_small_s"] = round(time.time() - t0, 2)
+                out["kern_fast_small"] = sample_worker_stats(spark)
                 n_fast = args.n_queries * 80
                 fq = spark.createDataFrame(scaling_queries(n_fast),
                                            "query_id long, query string")
                 out["n_queries_fast"] = n_fast
+                sample_worker_stats(spark, reset=True)
                 t0 = time.time()
                 search_fast(spark, idx, fq, k=10,
                             score_mode="drqa").count()
                 out["query_fast_s"] = round(time.time() - t0, 2)
+                out["kern_fast"] = sample_worker_stats(spark)
 
             if "bm25" in only:
                 # bm25 phase (the north metric's scorer): fast path + the
@@ -193,10 +198,12 @@ def main():
                 bq = spark.createDataFrame(scaling_queries(n_bm25),
                                            "query_id long, query string")
                 out["n_queries_bm25"] = n_bm25
+                sample_worker_stats(spark, reset=True)
                 t0 = time.time()
                 search_fast(spark, idx, bq, k=10,
                             score_mode="bm25").count()
                 out["query_bm25_s"] = round(time.time() - t0, 2)
+                out["kern_bm25"] = sample_worker_stats(spark)
 
             if "selective" in only:
                 # selective phase: WAND's pruning regime vs the full scan

@@ -52,6 +52,7 @@ assert identity with search_exact on every fixture.
 from __future__ import annotations
 
 import os
+import time
 
 import numpy as np
 import pandas as pd
@@ -88,6 +89,25 @@ SEED_MIN_RANGES = 1024
 # the broadcast shape packs candidates into blobs and merges in python;
 # below it, plain rows + a window cost one stage less
 _PACK_MIN_CANDIDATES = 1_000_000
+
+# per-python-worker scoring profile counters (same mechanism as
+# wand.STATS): cumulative across tasks within a worker process, sampled
+# with query.stats.sample_worker_stats. Lets a scaling run split the
+# measured wall into in-kernel python seconds (chain assembly vs query
+# scoring) versus everything between tasks (shuffle, scheduling, waves)
+# WITHOUT per-query timers in the hot loop — two monotonic() reads per
+# task, ~µs against multi-ms tasks.
+STATS = {"score_tasks": 0, "score_wall_s": 0.0, "chain_build_s": 0.0,
+         "queries_scored": 0}
+
+
+def reset_stats() -> None:
+    STATS.update(score_tasks=0, score_wall_s=0.0, chain_build_s=0.0,
+                 queries_scored=0)
+
+
+def get_stats() -> dict:
+    return dict(STATS)
 
 
 # process-lifetime decoded-dl cache (executor side), keyed by
@@ -519,6 +539,7 @@ def _score_range_broadcast(pdf: pd.DataFrame, unpacked, dl, k, mode, k1,
     -1.0 = unseeded; slot group per query, -1 = skip — the θ-seed
     pre-pass scores each query only in its densest slot group)."""
     from word2doc_spark.query.kcache import TaskCache
+    t_start = time.monotonic()
     tids = pdf["term_id"].to_numpy()
     dlos = pdf["doc_lo"].to_numpy()
     order = np.lexsort((dlos, tids))
@@ -530,6 +551,7 @@ def _score_range_broadcast(pdf: pd.DataFrame, unpacked, dl, k, mode, k1,
     ends = np.concatenate((starts[1:], [len(tids)]))
     chains = {int(tids[s]): [bytes(p) for p in payloads[s:e]]
               for s, e in zip(starts, ends)}
+    t_chains = time.monotonic()
     g = int(pdf["_g"].iloc[0]) if only_groups is not None else None
     out_q, out_d, out_s = [], [], []
     # per-task byte-bounded decode cache; chain cache keys are the
@@ -541,6 +563,7 @@ def _score_range_broadcast(pdf: pd.DataFrame, unpacked, dl, k, mode, k1,
     og_l = only_groups.tolist() if only_groups is not None else None
     seed_l = seeds.tolist() if seeds is not None else None
     chains_get = chains.get
+    n_scored = 0
     for i, qid in enumerate(qids_l):
         if og_l is not None and og_l[i] != g:
             continue
@@ -551,12 +574,18 @@ def _score_range_broadcast(pdf: pd.DataFrame, unpacked, dl, k, mode, k1,
                 term_rows.append((w_l[j], idf_l[j], ch, tids_l[j]))
         if not term_rows:
             continue
+        n_scored += 1
         theta0 = seed_l[i] if seed_l is not None else -1.0
         for doc, score in topk_fn(term_rows, k, mode, k1, b, avgdl, dl,
                                   theta0=theta0, cache=cache):
             out_q.append(qid)
             out_d.append(doc)
             out_s.append(score)
+    t_end = time.monotonic()
+    STATS["score_tasks"] += 1
+    STATS["score_wall_s"] += t_end - t_start
+    STATS["chain_build_s"] += t_chains - t_start
+    STATS["queries_scored"] += n_scored
     if n_qb is None:
         return pd.DataFrame({
             "query_id": np.asarray(out_q, dtype=np.int64),

@@ -219,6 +219,24 @@ def main():
                         out[k] = v
                 else:
                     out.setdefault(k, v)
+        # kernel counters must come from the SAME rep as the wall they
+        # attribute (setdefault would pair rep-0 counters with a rep-1
+        # min wall): take them from the rep with the best fast wall
+        # (fast + fast_small from one rep so the marginal delta is
+        # self-consistent) and the best bm25 wall respectively
+        best_fast = min((r for r in rows if "kern_fast" in r),
+                        key=lambda r: r["query_fast_s"], default=None)
+        if best_fast is not None:
+            out["kern_fast"] = best_fast["kern_fast"]
+            out["kern_fast_small"] = best_fast.get("kern_fast_small")
+            out["query_fast_s_kernrep"] = best_fast["query_fast_s"]
+            out["query_fast_small_s_kernrep"] = \
+                best_fast.get("query_fast_small_s")
+        best_bm = min((r for r in rows if "kern_bm25" in r),
+                      key=lambda r: r["query_bm25_s"], default=None)
+        if best_bm is not None:
+            out["kern_bm25"] = best_bm["kern_bm25"]
+            out["query_bm25_s_kernrep"] = best_bm["query_bm25_s"]
         return out
 
     results = {cpus: _merge(rs) for cpus, rs in runs.items()}
@@ -270,6 +288,46 @@ def main():
                         1e-9)
         rows.append(("fast-DAAT MARGINAL (Δ 10k→40k queries)", "q/s",
                      m_lo, m_hi, m_hi / (4.0 * m_lo)))
+
+    # ---- kernel attribution: decompose each fast-path ratio into
+    # kernel-CPU inflation × scheduler occupancy.  With K = in-kernel
+    # python cpu-seconds (sampled worker counters, same work at both
+    # levels), W = wall, c = cores:  thr = Q·c·occ / K  where
+    # occ = K/(W·c), so  eff_raw = (K_lo/K_hi) · (occ_hi/occ_lo).
+    # K_hi/K_lo > 1 means the SAME scoring work costs more cpu-seconds
+    # at 4N threads — memory-bus/SMT contention no scheduler can hide;
+    # occ_hi/occ_lo < 1 is time between tasks (shuffle, waves, JVM).
+    def _K(kern):
+        return (kern or {}).get("score_wall_s", 0.0) + \
+               (kern or {}).get("chain_build_s", 0.0)
+
+    attr = []
+    for label, kkey, wkey in (
+            ("fast-DAAT (40k batch)", "kern_fast", "query_fast_s_kernrep"),
+            ("fast-DAAT (bm25 8k)", "kern_bm25", "query_bm25_s_kernrep")):
+        if not (lo.get(kkey) and hi.get(kkey)
+                and lo.get(wkey) and hi.get(wkey)):
+            continue
+        k_lo, k_hi = _K(lo[kkey]), _K(hi[kkey])
+        if not (k_lo and k_hi):
+            continue
+        occ_lo = k_lo / (lo[wkey] * n)
+        occ_hi = k_hi / (hi[wkey] * 4 * n)
+        attr.append((label, k_lo, k_hi, occ_lo, occ_hi,
+                     (k_lo / k_hi) * (occ_hi / occ_lo)))
+    if all(lo.get(k) and hi.get(k) for k in
+           ("kern_fast", "kern_fast_small",
+            "query_fast_s_kernrep", "query_fast_small_s_kernrep")):
+        dk_lo = _K(lo["kern_fast"]) - _K(lo["kern_fast_small"])
+        dk_hi = _K(hi["kern_fast"]) - _K(hi["kern_fast_small"])
+        dw_lo = lo["query_fast_s_kernrep"] - lo["query_fast_small_s_kernrep"]
+        dw_hi = hi["query_fast_s_kernrep"] - hi["query_fast_small_s_kernrep"]
+        if min(dk_lo, dk_hi, dw_lo, dw_hi) > 0:
+            occ_lo = dk_lo / (dw_lo * n)
+            occ_hi = dk_hi / (dw_hi * 4 * n)
+            attr.append(("fast-DAAT MARGINAL (Δ batch)", dk_lo, dk_hi,
+                         occ_lo, occ_hi,
+                         (dk_lo / dk_hi) * (occ_hi / occ_lo)))
 
     stamp = datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds")
     md = [
@@ -342,6 +400,40 @@ def main():
         "compressed matched segments + per-range top-k candidates.",
         "",
     ]
+    if attr:
+        md += [
+            "## Where the ratio goes: kernel attribution",
+            "",
+            "In-kernel python cpu-seconds K (sampled per-worker counters:",
+            "scoring + chain assembly, two monotonic reads per task) split",
+            "each fast-path ratio into **kernel inflation** — the SAME",
+            "scoring work costing more cpu-seconds at 4N threads, i.e.",
+            "memory-bus/SMT contention that no scheduler can hide — times",
+            "**occupancy** — the fraction of core-time inside the kernel;",
+            "its decline is time between tasks (shuffle, waves, JVM).",
+            "eff = (K_N / K_4N) × (occ_4N / occ_N). Counters and walls",
+            "come from the same rep (the best fast wall), so the implied",
+            "column can differ slightly from the min-wall headline row.",
+            "",
+            f"| phase | K local[{n}] (cpu-s) | K local[{4*n}] (cpu-s) |"
+            " kernel inflation | occ N | occ 4N | implied eff |",
+            "|---|---|---|---|---|---|---|",
+        ]
+        for label, k_lo, k_hi, occ_lo, occ_hi, eff in attr:
+            md.append(
+                f"| {label} | {k_lo:,.1f} | {k_hi:,.1f} |"
+                f" {k_hi / k_lo:.2f}× | {occ_lo:.2f} | {occ_hi:.2f} |"
+                f" {eff:.2f} |")
+        md += [
+            "",
+            "Kernel inflation ≈ the STREAM ceiling's message in engine",
+            "units: the scoring loops stream decoded postings, so 4N",
+            "threads on one bus re-price each cpu-second. Occupancy loss",
+            "is the engine's own overhead and is what the serving caches",
+            "attack; inflation is the substrate's and is what a real",
+            "cluster (4× buses) removes.",
+            "",
+        ]
     subs = []
     if lo.get("stage_sub") and hi.get("stage_sub"):
         for name in ("url_bounds", "py_warmup", "extract_count",
@@ -447,6 +539,14 @@ def main():
              "eff_raw": round(eff, 4),
              "eff_norm": round(eff / hw_eff, 4)}
             for label, unit, a, b, eff in rows
+        ],
+        "kernel_attribution": [
+            {"label": label, "k_cpu_s_lo": round(k_lo, 1),
+             "k_cpu_s_hi": round(k_hi, 1),
+             "kernel_inflation": round(k_hi / k_lo, 3),
+             "occ_lo": round(occ_lo, 3), "occ_hi": round(occ_hi, 3),
+             "implied_eff": round(eff, 4)}
+            for label, k_lo, k_hi, occ_lo, occ_hi, eff in attr
         ],
         "wand_depth_crossover": [
             {"dense_df": df, "wand_ms": round(w, 2),

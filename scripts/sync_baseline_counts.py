@@ -55,6 +55,22 @@ def scaling_block() -> str | None:
             f"| {p['label']} | {p['unit']} | {p['thr_lo']:,.1f} | "
             f"{p['thr_hi']:,.1f} | {p['eff_raw']:.2f} | "
             f"{p['eff_norm']:.2f} |")
+    if s.get("kernel_attribution"):
+        lines += [
+            "",
+            "Kernel attribution (sampled in-kernel cpu-seconds; "
+            "eff = kernel-inflation⁻¹ × occupancy ratio — see "
+            "BENCH/BASELINE.md for the method):",
+            "",
+            "| phase | kernel inflation at 4N | occ N → 4N | "
+            "implied eff |",
+            "|---|---|---|---|",
+        ]
+        for a in s["kernel_attribution"]:
+            lines.append(
+                f"| {a['label']} | {a['kernel_inflation']:.2f}× | "
+                f"{a['occ_lo']:.2f} → {a['occ_hi']:.2f} | "
+                f"{a['implied_eff']:.2f} |")
     return "\n".join(lines)
 
 

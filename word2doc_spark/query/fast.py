@@ -21,6 +21,8 @@ fast path.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 
@@ -128,6 +130,191 @@ def fast_topk(
         cand = np.arange(uniq.size)
     order = cand[np.lexsort((uniq[cand], -acc[cand]))][:k]
     return [(int(uniq[i]), float(acc[i])) for i in order]
+
+
+def _grouped_fast(qids_l, offs, tids_l, w_l, idf_l, og_l, g, chains,
+                  dl, k: int, mode: str, k1: float, b: float,
+                  avgdl: float, cache) -> tuple[list, list, list, int]:
+    """Batch form of fast_topk over one slot-group task: score EVERY
+    matched query of the broadcast pack in numpy chunks instead of a
+    python call per query.
+
+    Three per-task preparations, each cached (TaskCache, byte-charged):
+    * each term chain decodes once to (global doc_ids, tfs) — as before;
+    * the group's ACTIVE doc space: the sorted union of every matched
+      chain's docs. Scoring happens in rank-compressed active indices,
+      so the dense accumulator width is O(matched docs of this group),
+      bounded by the group's posting count — independent of the doc-
+      range width (a 32M-doc production range with sparse matches stays
+      narrow);
+    * per (term, mode): (active_idx int32, fvals float64) where fvals is
+      the query-independent factor of the contribution — log1p(tf) for
+      drqa, the BM25 tf/dl kernel for bm25 — so a query's contribution
+      is scale·fvals with scale = w·idf (drqa) or w (bm25), the exact
+      expression fast_topk computes (bit-identical float ops).
+
+    Each chunk of R queries accumulates into a reused dense (R ×
+    n_active) float64 matrix with one fancy-indexed scatter-add PER
+    DISTINCT TERM (rows-holding-term ⊗ term postings — every (row, col)
+    pair is unique within a term, so `m[rows, cols] += outer` is
+    well-defined), iterating terms in ascending term_id: per (query,
+    doc) the contributions add in the same ascending-term order
+    fast_topk feeds to reduceat. The per-doc sums can differ from
+    fast_topk's in the LAST ULP only (np.add.reduceat reduces segments
+    pairwise, the scatter adds strictly term-by-term; measured ≤1 ulp ≈
+    1e-15 relative — far inside the 1e-9 differential contract).
+    Top-k is chunk-vectorized: a per-row k-th-value via np.partition,
+    a `(m ≥ kth) & (m > 0)` candidate mask (the `> 0` leg handles rows
+    with ≤ k matched docs, where the k-th value is an unmatched 0), and
+    ONE global lexsort (row, score desc, doc asc) + boundary walk —
+    identical tie semantics to fast_topk (keep ≥ k-th, doc_id breaks).
+
+    Queries where some matched term has scale == 0 (idf clamped to 0 on
+    a >N/3-df head term) fall back to fast_topk: such terms mark a doc
+    as MATCHED at score contribution 0, which the zero-pruned dense
+    accumulator cannot represent when the match count is ≤ k.
+    Returns (out_q, out_d, out_s, n_scored)."""
+    charge = getattr(cache, "charge", None)
+    def get_chain(tid):
+        ck = ("chain", tid)
+        chain = cache.get(ck)
+        if chain is None:  # first touch, or evicted by the byte budget
+            d_raw, t_raw = _decode_chain(chains[tid])
+            chain = (d_raw.astype(np.int64), t_raw.astype(np.float64))
+            cache[ck] = chain
+            if charge is not None:
+                charge(ck, chain[0].nbytes + chain[1].nbytes)
+        return chain
+
+    act_key = ("gactive", mode)
+    active = cache.get(act_key)
+    if active is None:
+        parts = [get_chain(tid)[0] for tid in chains]
+        active = np.unique(np.concatenate(parts)) if parts else \
+            np.empty(0, dtype=np.int64)
+        cache[act_key] = active
+        if charge is not None:
+            charge(act_key, active.nbytes)
+    n_active = int(active.size)
+    if n_active == 0:
+        return [], [], [], 0
+
+    def term_factors(tid):
+        fk = ("gf", tid, mode)
+        got = cache.get(fk)
+        if got is None:
+            docs, tfs = get_chain(tid)
+            if mode == "drqa":
+                fvals = np.log1p(tfs)
+            else:
+                d = np.asarray(dl[docs], dtype=np.float64) \
+                    if dl is not None else np.full(docs.size, avgdl)
+                fvals = (tfs * (k1 + 1.0)) / (
+                    tfs + k1 * (1.0 - b + b * d / avgdl))
+            got = (np.searchsorted(active, docs).astype(np.int32), fvals)
+            cache[fk] = got
+            if charge is not None:
+                charge(fk, got[0].nbytes + got[1].nbytes)
+        return got
+
+    # chunk size: the dense accumulator must stay small enough that
+    # ncores × buffer fits the SHARED L3 — an 8 MB buffer measured 2×
+    # per-task cpu inflation at 32 procs (L3 thrash) vs 8
+    budget = int(os.environ.get("W2D_GROUP_BUDGET", str(1 << 20)))
+    R = max(1, min(512, budget // max(1, 8 * n_active)))
+    m_buf = np.zeros((R, n_active), dtype=np.float64)
+    out_q: list = []
+    out_d: list = []
+    out_s: list = []
+    n_scored = 0
+    fallback: list = []  # (qid, term_rows)
+    chunk_qids: list = []
+    chunk_terms: dict = {}  # tid -> ([chunk rows], [scales])
+    chains_get = chains.get
+
+    def flush():
+        nr = len(chunk_qids)
+        if nr == 0:
+            return
+        m = m_buf[:nr]
+        m[:] = 0.0
+        for tid in sorted(chunk_terms):
+            rows_t, scales_t = chunk_terms[tid]
+            offs_t, fvals_t = term_factors(tid)
+            r_arr = np.asarray(rows_t, dtype=np.int64)
+            s_arr = np.asarray(scales_t, dtype=np.float64)
+            m[r_arr[:, None], offs_t[None, :]] += \
+                s_arr[:, None] * fvals_t[None, :]
+        if n_active > k:
+            kth = np.partition(m, n_active - k, axis=1)[:, n_active - k]
+        else:
+            kth = np.zeros(nr)
+        mask = (m >= kth[:, None]) & (m > 0.0)
+        rows, cols = np.nonzero(mask)
+        vals = m[rows, cols]
+        order = np.lexsort((cols, -vals, rows))
+        rows, cols, vals = rows[order], cols[order], vals[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], rows[1:] != rows[:-1])))
+        lens = np.diff(np.concatenate((starts, [rows.size])))
+        pos = np.arange(rows.size) - np.repeat(starts, lens)
+        keep = pos < k
+        qarr = np.asarray(chunk_qids, dtype=np.int64)
+        out_q.extend(qarr[rows[keep]].tolist())
+        out_d.extend(active[cols[keep]].tolist())
+        out_s.extend(vals[keep].tolist())
+        chunk_qids.clear()
+        chunk_terms.clear()
+
+    for i, qid in enumerate(qids_l):
+        if og_l is not None and og_l[i] != g:
+            continue
+        terms = []
+        zero_scale = False
+        for j in range(offs[i], offs[i + 1]):
+            if chains_get(tids_l[j]) is None:
+                continue
+            w = w_l[j]
+            if w <= 0.0:
+                continue
+            scale = w * idf_l[j] if mode == "drqa" else w
+            if scale == 0.0:
+                zero_scale = True
+            terms.append((scale, tids_l[j]))
+        if not terms:
+            continue
+        n_scored += 1
+        if zero_scale:
+            term_rows = [
+                (w_l[j], idf_l[j], chains_get(tids_l[j]), tids_l[j])
+                for j in range(offs[i], offs[i + 1])
+                if chains_get(tids_l[j]) is not None and w_l[j] > 0.0]
+            fallback.append((qid, term_rows))
+            continue
+        r = len(chunk_qids)
+        chunk_qids.append(qid)
+        for scale, tid in terms:
+            slot = chunk_terms.get(tid)
+            if slot is None:
+                slot = chunk_terms[tid] = ([], [])
+            slot[0].append(r)
+            slot[1].append(scale)
+        if len(chunk_qids) >= R:
+            flush()
+    flush()
+    for qid, term_rows in fallback:
+        for doc, score in fast_topk(term_rows, k, mode, k1, b, avgdl,
+                                    dl, cache=cache):
+            out_q.append(qid)
+            out_d.append(doc)
+            out_s.append(score)
+    return out_q, out_d, out_s, n_scored
+
+
+# the broadcast slot-group scorer (ranges._score_range_broadcast) uses
+# this batch implementation when the kernel advertises one — WAND keeps
+# the per-query loop (its pruning is inherently per-query)
+fast_topk.grouped_impl = _grouped_fast
 
 
 def search_fast(

@@ -525,7 +525,8 @@ def _align_to_pack(qids: np.ndarray, keys, values, default, dtype):
 def _score_range_broadcast(pdf: pd.DataFrame, unpacked, dl, k, mode, k1,
                            b, avgdl, topk_fn, seeds=None,
                            only_groups=None,
-                           n_qb: int | None = None) -> pd.DataFrame:
+                           n_qb: int | None = None,
+                           grouped_ok: bool = True) -> pd.DataFrame:
     """Score one slot-group of doc ranges for every query in ``groups``.
     pdf holds each matched segment of the group's ranges exactly once
     (term_id, doc_lo, payload); per-term segment chains are built with one
@@ -564,6 +565,25 @@ def _score_range_broadcast(pdf: pd.DataFrame, unpacked, dl, k, mode, k1,
     seed_l = seeds.tolist() if seeds is not None else None
     chains_get = chains.get
     n_scored = 0
+    grouped = getattr(topk_fn, "grouped_impl", None)
+    if grouped is not None and grouped_ok:
+        # batch the whole pack through the numpy chunk scorer (the fast
+        # kernel ignores θ seeds, so seed_l never changes its results)
+        out_q, out_d, out_s, n_scored = grouped(
+            qids_l, offs, tids_l, w_l, idf_l, og_l, g, chains,
+            dl, k, mode, k1, b, avgdl, cache)
+        t_end = time.monotonic()
+        STATS["score_tasks"] += 1
+        STATS["score_wall_s"] += t_end - t_start
+        STATS["chain_build_s"] += t_chains - t_start
+        STATS["queries_scored"] += n_scored
+        if n_qb is None:
+            return pd.DataFrame({
+                "query_id": np.asarray(out_q, dtype=np.int64),
+                "doc_id": np.asarray(out_d, dtype=np.int64),
+                "score": np.asarray(out_s, dtype=np.float64),
+            })
+        return _pack_candidates(out_q, out_d, out_s, n_qb)
     for i, qid in enumerate(qids_l):
         if og_l is not None and og_l[i] != g:
             continue
@@ -737,6 +757,9 @@ def _broadcast_runner(index_dir, bid, bc, k, mode, k1, b, avgdl,
     inside the task (_dl_for_ranges: per-range process cache + one
     pyarrow read for misses) — no cogroup and no per-batch dl shuffle;
     the physical plan is identical for both score modes."""
+    # resolved DRIVER-side so tests (and operators) can toggle the
+    # grouped scorer per call; the bool rides the task closure
+    grouped_ok = os.environ.get("W2D_GROUPED_FAST", "1") != "0"
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
@@ -751,7 +774,8 @@ def _broadcast_runner(index_dir, bid, bc, k, mode, k1, b, avgdl,
         return _score_range_broadcast(pdf, _unpack_groups_bc(bc), dl, k,
                                       mode, k1, b,
                                       avgdl, topk_fn, seeds=seeds,
-                                      only_groups=only_groups, n_qb=n_qb)
+                                      only_groups=only_groups, n_qb=n_qb,
+                                      grouped_ok=grouped_ok)
 
     return run
 

@@ -61,12 +61,35 @@ def selective_queries(n: int) -> list:
             for i in range(n)]
 
 
+def narrow_deep_queries(n: int) -> list:
+    """rare tok term + ONE dense topic head word — the shape block-max
+    WAND is built for: θ fills from the rare term's idf² and ONE deep
+    list gets block-skipped. This is the kernel crossover probe's exact
+    shape; at per-range dense df ≈ 2×10^5 (8M docs / 8 ranges) the
+    kernel gap is ~5× (measured 0.75 ms vs 3.6 ms per query·range).
+    Many-term dense queries are the OPPOSITE regime: with 50 dense
+    terms the upper-bound SUM exceeds any θ, the pivot never moves past
+    the haystack, and WAND degenerates to per-posting python evaluation
+    (measured 1.5 s/query vs 23 ms grouped-fast) — that regime belongs
+    to the vectorized scan, which is why search_fast is the default."""
+    from word2doc_spark.sources.pages import _TOPICS
+    words = [ws[0] for _, ws in _TOPICS]
+    return [(i, f"tok{(i * 7919) % 100000} {words[i % len(words)]}")
+            for i in range(n)]
+
+
 CONFIGS = {
     "deep8": {"n_ranges": 8, "queries": deep_queries,
               "index_dir": "/tmp/w2d_deep_idx_1m", "n_queries": 8000},
     "ranges1024": {"n_ranges": 1024, "queries": selective_queries,
                    "index_dir": "/tmp/w2d_deep_idx_1m_r1024",
                    "n_queries": 8000},
+    # the 10^12-doc DEPTH sizing: 8M docs / 8 ranges → per-range dense
+    # lists of ~2×10^5 postings, rare+single-dense queries
+    "deep8m": {"n_ranges": 8, "queries": narrow_deep_queries,
+               "index_dir": "/tmp/w2d_deep_idx_8m", "n_queries": 6000,
+               "n_docs": 8_000_000,
+               "corpus": "/tmp/w2d_scaling_corpus_8000000"},
 }
 
 
@@ -84,6 +107,8 @@ def main():
     index_dir = args.index_dir or conf["index_dir"]
     n_queries = args.n_queries or conf["n_queries"]
     make_queries = conf["queries"]
+    corpus = conf.get("corpus", args.corpus)
+    corpus_docs = conf.get("n_docs", 1_000_000)
 
     from pyspark.sql import SparkSession
     from word2doc_spark.query.stats import sample_worker_stats
@@ -108,12 +133,12 @@ def main():
     cfg = IndexConfig(hash_size=2 ** 24, num_shards=4,
                       n_ranges=conf["n_ranges"])
     if not Manifest(index_dir).is_published():
-        if not os.path.exists(os.path.join(args.corpus, "_SUCCESS")):
-            print(f"generating corpus {args.corpus} ...", file=sys.stderr)
-            (synthetic_pages_distributed(spark, 1_000_000,
+        if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+            print(f"generating corpus {corpus} ...", file=sys.stderr)
+            (synthetic_pages_distributed(spark, corpus_docs,
                                          num_partitions=128)
-             .write.mode("overwrite").parquet(args.corpus))
-        pages = spark.read.parquet(args.corpus)
+             .write.mode("overwrite").parquet(corpus))
+        pages = spark.read.parquet(corpus)
         print(f"building {args.config} index ...", file=sys.stderr)
         build_index(spark, pages, index_dir, cfg,
                     input_token=f"deep_{args.config}")

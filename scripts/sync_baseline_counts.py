@@ -75,11 +75,17 @@ def scaling_block() -> str | None:
 
 
 _DEEP_BLURB = {
-    "deep8": "the DEPTH regime: rare+all-dense queries over 125k-posting "
-             "per-range lists",
+    "deep8": "the crossover's LEFT side: rare+5-dense queries over "
+             "125k-posting per-range lists — since the grouped numpy "
+             "scorer (round 5) the vectorized scan wins this shallow "
+             "multi-term shape, which is why search_fast is the default",
     "ranges1024": "the MANY-RANGES regime θ seeding serves: selective "
                   "rare(df~10)+dense queries, rare term absent from "
                   "~99% of ranges",
+    "deep8m": "the 10^12-doc DEPTH sizing: 8M docs / 8 ranges → "
+              "per-range dense lists of ~2×10^5 postings, rare + ONE "
+              "dense head word per query (the crossover probe's exact "
+              "shape, ~5× kernel gap measured)",
 }
 
 

@@ -73,6 +73,7 @@ CAND_SCHEMA = "query_id long, doc_id long, score double"
 # blob staging); packed, the merge moves ~10^3 opaque rows. float64
 # holds ids exactly up to 2^53 (enforced at pack time).
 CAND_BLOB_SCHEMA = "qb int, blob binary"
+SEED_KTH_SCHEMA = "query_id long, score double"
 TOPK_SCHEMA = "query_id long, rank int, doc_id long, score double"
 
 # θ seeding collects O(Q) (id, float) rows to the driver — safe far past
@@ -526,7 +527,8 @@ def _score_range_broadcast(pdf: pd.DataFrame, unpacked, dl, k, mode, k1,
                            b, avgdl, topk_fn, seeds=None,
                            only_groups=None,
                            n_qb: int | None = None,
-                           grouped_ok: bool = True) -> pd.DataFrame:
+                           grouped_ok: bool = True,
+                           kth_only: bool = False) -> pd.DataFrame:
     """Score one slot-group of doc ranges for every query in ``groups``.
     pdf holds each matched segment of the group's ranges exactly once
     (term_id, doc_lo, payload); per-term segment chains are built with one
@@ -538,7 +540,14 @@ def _score_range_broadcast(pdf: pd.DataFrame, unpacked, dl, k, mode, k1,
     python lists (worker-cached — see _unpack_groups_bc);
     ``seeds`` / ``only_groups`` are pack-aligned arrays (θ0 per query,
     -1.0 = unseeded; slot group per query, -1 = skip — the θ-seed
-    pre-pass scores each query only in its densest slot group)."""
+    pre-pass scores each query only in its densest slot group).
+
+    ``kth_only``: emit one (query_id, score) row per fully-matched query
+    — its LOCAL k-th score — instead of candidate rows. Used by the
+    θ-seed pre-pass: with ``only_groups`` each query scores in exactly
+    ONE task, so no cross-group merge exists and the k-th can leave the
+    task directly (the old pack→merge→window route spent two extra
+    stages re-deriving it)."""
     from word2doc_spark.query.kcache import TaskCache
     t_start = time.monotonic()
     tids = pdf["term_id"].to_numpy()
@@ -577,6 +586,8 @@ def _score_range_broadcast(pdf: pd.DataFrame, unpacked, dl, k, mode, k1,
         STATS["score_wall_s"] += t_end - t_start
         STATS["chain_build_s"] += t_chains - t_start
         STATS["queries_scored"] += n_scored
+        if kth_only:
+            return _kth_rows(out_q, out_s, k)
         if n_qb is None:
             return pd.DataFrame({
                 "query_id": np.asarray(out_q, dtype=np.int64),
@@ -606,6 +617,8 @@ def _score_range_broadcast(pdf: pd.DataFrame, unpacked, dl, k, mode, k1,
     STATS["score_wall_s"] += t_end - t_start
     STATS["chain_build_s"] += t_chains - t_start
     STATS["queries_scored"] += n_scored
+    if kth_only:
+        return _kth_rows(out_q, out_s, k)
     if n_qb is None:
         return pd.DataFrame({
             "query_id": np.asarray(out_q, dtype=np.int64),
@@ -613,6 +626,26 @@ def _score_range_broadcast(pdf: pd.DataFrame, unpacked, dl, k, mode, k1,
             "score": np.asarray(out_s, dtype=np.float64),
         })
     return _pack_candidates(out_q, out_d, out_s, n_qb)
+
+
+def _kth_rows(out_q, out_s, k: int) -> pd.DataFrame:
+    """Per-query k-th score from candidate lists where each query's rows
+    are CONTIGUOUS and ordered (score desc, doc asc) — true for both the
+    per-query loop and the grouped scorer (each query scores in one chunk
+    or the fallback, never both). Queries with fewer than k matched docs
+    emit nothing: their local k-th does not exist, so they stay unseeded
+    (exactly what filter(rank == k) produced on the merge route)."""
+    qarr = np.asarray(out_q, dtype=np.int64)
+    sarr = np.asarray(out_s, dtype=np.float64)
+    if qarr.size == 0:
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
+    starts = np.flatnonzero(np.concatenate(([True],
+                                            qarr[1:] != qarr[:-1])))
+    lens = np.diff(np.concatenate((starts, [qarr.size])))
+    keep = lens == k
+    return pd.DataFrame({"query_id": qarr[starts[keep]],
+                         "score": sarr[(starts + lens - 1)[keep]]})
 
 
 def _pack_candidates(out_q, out_d, out_s, n_qb: int) -> pd.DataFrame:
@@ -749,7 +782,8 @@ def _prune_cached_segs(segs: DataFrame, term_ids: list) -> DataFrame:
 
 
 def _broadcast_runner(index_dir, bid, bc, k, mode, k1, b, avgdl,
-                      topk_fn, n_qb, sp, seeds=None, only_groups=None):
+                      topk_fn, n_qb, sp, seeds=None, only_groups=None,
+                      kth_only=False):
     """Scoring closure for the broadcast shape. The query pack travels
     as the Spark broadcast variable ``bc`` (once per worker, not once
     per task — see _unpack_groups_bc); seeds/only_groups are small
@@ -763,6 +797,8 @@ def _broadcast_runner(index_dir, bid, bc, k, mode, k1, b, avgdl,
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
+            if kth_only:
+                return _kth_rows([], [], k)
             if n_qb:
                 return _pack_candidates([], [], [], n_qb)
             return pd.DataFrame({
@@ -775,7 +811,8 @@ def _broadcast_runner(index_dir, bid, bc, k, mode, k1, b, avgdl,
                                       mode, k1, b,
                                       avgdl, topk_fn, seeds=seeds,
                                       only_groups=only_groups, n_qb=n_qb,
-                                      grouped_ok=grouped_ok)
+                                      grouped_ok=grouped_ok,
+                                      kth_only=kth_only)
 
     return run
 
@@ -936,15 +973,15 @@ def _theta_seeds_broadcast(spark, index_dir, term_pred, config, wqt,
         [slots[int(r["range_id"]) % sp] for r in best],
         default=-1, dtype=np.int64)
 
+    # only_groups pins each query to ONE task, so its local k-th needs
+    # no cross-group merge: the seed job emits (query_id, kth) rows
+    # directly — one stage + collect, where the pack→merge→window route
+    # spent two extra stages and a second shuffle re-deriving it
     run_seed = _broadcast_runner(index_dir, bid, bc, k, mode, k1, b,
-                                 avgdl, topk_fn, sp, sp,
-                                 only_groups=only_groups)
-    seed_cand = segs.groupBy("_g").applyInPandas(
-        run_seed, CAND_BLOB_SCHEMA)
-    slot_arr = F.array(*[F.lit(x) for x in slots])
-    kth = (_merge_topk_blobs(seed_cand, k, sp, slot_arr)
-           .filter(F.col("rank") == k)
-           .select("query_id", "score").collect())
+                                 avgdl, topk_fn, None, sp,
+                                 only_groups=only_groups, kth_only=True)
+    kth = (segs.groupBy("_g").applyInPandas(run_seed, SEED_KTH_SCHEMA)
+           .collect())
     if not kth:
         return None
     # θ0 just below each k-th score, aligned to the pack (-1.0 = unseeded)

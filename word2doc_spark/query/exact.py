@@ -248,20 +248,38 @@ def weighted_query_terms_distributed(spark: SparkSession, index_dir: str,
               .select(*cols))
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _arrow_conversions(spark: SparkSession):
+    """Arrow-backed toPandas/createDataFrame for the scope (columnar
+    batches instead of per-row pickling — measured ~1.6× on a 120k-row
+    weighted-terms table); restores the caller's session conf."""
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    old = spark.conf.get(key, "false")
+    spark.conf.set(key, "true")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 def resolve_analysis_mode(queries: DataFrame, analysis: str,
                           with_rows: bool = False):
-    """'driver' | 'distributed' | 'auto' → concrete mode. Auto probes at
-    most THRESHOLD+1 rows (one bounded job) to decide.
+    """'driver' | 'distributed' | 'auto' → concrete mode.
 
-    with_rows=True returns (mode, rows_or_None): in auto mode the size
-    probe is a BOUNDED limit(THRESHOLD+1).collect() forced into a single
-    all-partition job (spark.sql.limit.initialNumPartitions — the
-    default staged take runs 1, 4, 16, … partitions = 3-4 jobs), so when
-    the batch is ≤ THRESHOLD the probe already delivers every row and
-    the driver path needs no second collect job. The old probe+collect
-    pair cost two full driver round-trips per batch (~0.65 s measured
-    flat at any batch size on the sf0.1 bench); this is one (~0.5 s),
-    and stays memory-bounded for huge batches."""
+    with_rows=True returns (mode, rows_or_None). The auto probe first
+    collects a BOUNDED limit(_DRIVER_ANALYZE_MAX+1) head, forced into a
+    single all-partition job (spark.sql.limit.initialNumPartitions —
+    the default staged take runs 1, 4, 16, … partitions = 3-4 jobs): a
+    batch small enough for SERIAL driver analysis is then fully in hand
+    with one tiny job and no second collect. A bigger batch escalates
+    to a bounded COUNT with no row materialization (the old probe
+    shipped up to THRESHOLD rows to the driver only to measure the
+    batch's size — ~1.2 s of serial wall per 40k-query batch, pure
+    per-batch fixed cost) to pick driver-resident-wqt vs fully
+    distributed analysis."""
     rows = None
     if analysis in ("driver", "distributed"):
         mode = analysis
@@ -280,13 +298,18 @@ def resolve_analysis_mode(queries: DataFrame, analysis: str,
         spark.conf.set(key, "1000000")
         try:
             rows = (queries.select("query_id", "query")
-                    .limit(DISTRIBUTED_ANALYSIS_THRESHOLD + 1).collect())
+                    .limit(_DRIVER_ANALYZE_MAX + 1).collect())
+            if len(rows) <= _DRIVER_ANALYZE_MAX:
+                mode = "driver"
+            else:
+                n = (queries.select("query_id")
+                     .limit(DISTRIBUTED_ANALYSIS_THRESHOLD + 1).count())
+                mode = ("distributed"
+                        if n > DISTRIBUTED_ANALYSIS_THRESHOLD
+                        else "driver")
+                rows = None
         finally:
             spark.conf.set(key, old)
-        if len(rows) > DISTRIBUTED_ANALYSIS_THRESHOLD:
-            mode, rows = "distributed", None
-        else:
-            mode = "driver"
     return (mode, rows) if with_rows else mode
 
 
@@ -303,7 +326,8 @@ def _strict_check_distributed(queries: DataFrame, qt: DataFrame) -> None:
 def prepare_weighted_terms(spark: SparkSession, index_dir: str,
                            queries: DataFrame, config: IndexConfig,
                            n_docs: int, strict: bool, analysis: str,
-                           bid: str | None = None):
+                           bid: str | None = None,
+                           build_qdf: bool = True):
     """Shared query-side prep for all three search paths.
 
     → (qdf, term_pred, wqt_pandas, n_queries_hint) where qdf is the
@@ -317,14 +341,18 @@ def prepare_weighted_terms(spark: SparkSession, index_dir: str,
     emptiness propagates lazily)."""
     mode, head = resolve_analysis_mode(queries, analysis, with_rows=True)
     if mode == "driver":
-        # the auto probe already delivered the rows (tail(T+1), one
-        # job); an explicit analysis='driver' or a LocalRelation batch
-        # collects here — one plain job, never a staged limit().collect()
-        # take (1, 4, 16, … partitions = 3-4 extra jobs per call,
-        # measured +0.5 s on the sf0.1 toy bench)
-        if head is None:
+        # a small auto-probed batch already delivered its rows (one
+        # bounded job); a big auto-probed batch was only COUNTED and
+        # goes straight to executor-side analysis; an explicit
+        # analysis='driver' or a LocalRelation batch collects here —
+        # one plain job, never a staged limit().collect() take
+        # (1, 4, 16, … partitions = 3-4 extra jobs per call, measured
+        # +0.5 s on the sf0.1 toy bench)
+        probed_big = (head is None and analysis == "auto"
+                      and not queries.isLocal())
+        if head is None and not probed_big:
             head = queries.select("query_id", "query").collect()
-        if len(head) > _DRIVER_ANALYZE_MAX:
+        if probed_big or len(head) > _DRIVER_ANALYZE_MAX:
             # big-but-driver-sized batch: tokenization+weighting run
             # EXECUTOR-side (they scale with cores; serial driver
             # analysis of a 20k-query batch measured 2.6 s flat at any
@@ -336,8 +364,9 @@ def prepare_weighted_terms(spark: SparkSession, index_dir: str,
             if strict:
                 qt = qt.persist(StorageLevel.MEMORY_AND_DISK)
                 _strict_check_distributed(queries, qt)
-            wqt = weighted_query_terms_distributed(
-                spark, index_dir, qt, n_docs, with_df=True).toPandas()
+            with _arrow_conversions(spark):
+                wqt = weighted_query_terms_distributed(
+                    spark, index_dir, qt, n_docs, with_df=True).toPandas()
             if strict:
                 qt.unpersist()
             if wqt.empty:
@@ -350,9 +379,15 @@ def prepare_weighted_terms(spark: SparkSession, index_dir: str,
                                        config.num_shards, bid)
             if wqt.empty:
                 return None, None, None, 0
-        qdf = spark.createDataFrame(
-            wqt[["query_id", "term_id", "w", "idf"]],
-            "query_id long, term_id long, w double, idf double")
+        # the broadcast-closure scoring shape never touches qdf — a 40k
+        # query batch's qdf cost ~1.1 s of serial driver wall per batch
+        # for nothing (ranges passes build_qdf=False)
+        qdf = None
+        if build_qdf:
+            with _arrow_conversions(spark):
+                qdf = spark.createDataFrame(
+                    wqt[["query_id", "term_id", "w", "idf"]],
+                    "query_id long, term_id long, w double, idf double")
         return (qdf, sorted({int(t) for t in wqt["term_id"]}), wqt,
                 int(wqt["query_id"].nunique()))
     from pyspark import StorageLevel

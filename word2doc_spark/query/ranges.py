@@ -99,12 +99,12 @@ _PACK_MIN_CANDIDATES = 1_000_000
 # WITHOUT per-query timers in the hot loop — two monotonic() reads per
 # task, ~µs against multi-ms tasks.
 STATS = {"score_tasks": 0, "score_wall_s": 0.0, "chain_build_s": 0.0,
-         "queries_scored": 0}
+         "queries_scored": 0, "cand_emitted": 0, "cand_floored": 0}
 
 
 def reset_stats() -> None:
     STATS.update(score_tasks=0, score_wall_s=0.0, chain_build_s=0.0,
-                 queries_scored=0)
+                 queries_scored=0, cand_emitted=0, cand_floored=0)
 
 
 def get_stats() -> dict:
@@ -348,8 +348,9 @@ def search_doc_partitioned(
     index_bytes = int(stats.get("index_bytes", 0) or 0)
 
     qdf, term_pred, wqt, nq = prepare_weighted_terms(
-        spark, index_dir, queries, config, n_docs, strict, analysis, bid)
-    if qdf is None:
+        spark, index_dir, queries, config, n_docs, strict, analysis, bid,
+        build_qdf=False)
+    if term_pred is None:
         return _empty_result(spark)
     # actual range count from the published layout (config.n_ranges may be
     # 0 = auto-sized at build)
@@ -393,7 +394,8 @@ def search_doc_partitioned(
         # Candidates come back packed and already globally top-k'd.
         topk = _score_ranges_broadcast(
             spark, index_dir, term_pred, config, wqt, k, mode, k1, b,
-            avgdl, topk_fn, do_seed, bid, index_bytes)
+            avgdl, topk_fn, do_seed, bid, index_bytes,
+            n_ranges=n_ranges)
         return attach_urls(spark, index_dir, topk)
     else:
         # distributed batch: query table is executor-resident; fall back
@@ -528,7 +530,8 @@ def _score_range_broadcast(pdf: pd.DataFrame, unpacked, dl, k, mode, k1,
                            only_groups=None,
                            n_qb: int | None = None,
                            grouped_ok: bool = True,
-                           kth_only: bool = False) -> pd.DataFrame:
+                           kth_only: bool = False,
+                           pop_key=None) -> pd.DataFrame:
     """Score one slot-group of doc ranges for every query in ``groups``.
     pdf holds each matched segment of the group's ranges exactly once
     (term_id, doc_lo, payload); per-term segment chains are built with one
@@ -562,11 +565,33 @@ def _score_range_broadcast(pdf: pd.DataFrame, unpacked, dl, k, mode, k1,
     chains = {int(tids[s]): [bytes(p) for p in payloads[s:e]]
               for s, e in zip(starts, ends)}
     t_chains = time.monotonic()
-    g = int(pdf["_g"].iloc[0]) if only_groups is not None else None
-    out_q, out_d, out_s = [], [], []
+    g = int(pdf["_g"].iloc[0])
+    if pop_key is not None:
+        # warm the process-resident serving cache as a side effect: the
+        # next batch against this build scores from it with no segment
+        # exchange and no Arrow transfer at all (_pcache_runner)
+        _pcache_populate(pop_key[0], pop_key[1], g, chains,
+                         unpacked[2])
     # per-task byte-bounded decode cache; chain cache keys are the
     # term_ids themselves (content-stable — one chain per term per task)
-    cache = TaskCache()
+    return _score_group_core(chains, dl, k, mode, k1, b, avgdl,
+                             topk_fn, unpacked, seeds, only_groups,
+                             n_qb, grouped_ok, kth_only, g,
+                             TaskCache(), t_start, t_chains)
+
+
+def _score_group_core(chains, dl, k, mode, k1, b, avgdl, topk_fn,
+                      unpacked, seeds, only_groups, n_qb, grouped_ok,
+                      kth_only, g, cache, t_start,
+                      t_chains) -> pd.DataFrame:
+    """Scoring core shared by the Arrow-fed path (chains built from the
+    task's pdf) and the process-resident serving path (chains live in
+    _SEG_PCACHE across batches — ``chains`` may then be a SUPERSET of
+    the batch's matched terms: extra terms only widen the grouped
+    scorer's active-doc space with zero-score docs, which the ``> 0``
+    emission mask excludes, and the per-query paths index chains by the
+    query's own term ids — results are identical either way)."""
+    out_q, out_d, out_s = [], [], []
     # pack already unpacked to plain python scalars, once per worker;
     # seeds / only_groups arrive as pack-aligned arrays, not dicts
     qids_l, offs, tids_l, w_l, idf_l = unpacked
@@ -581,6 +606,10 @@ def _score_range_broadcast(pdf: pd.DataFrame, unpacked, dl, k, mode, k1,
         out_q, out_d, out_s, n_scored = grouped(
             qids_l, offs, tids_l, w_l, idf_l, og_l, g, chains,
             dl, k, mode, k1, b, avgdl, cache)
+        if seeds is not None and not kth_only:
+            out_q, out_d, out_s = _floor_filter(
+                np.asarray(qids_l, dtype=np.int64), seeds,
+                out_q, out_d, out_s)
         t_end = time.monotonic()
         STATS["score_tasks"] += 1
         STATS["score_wall_s"] += t_end - t_start
@@ -612,6 +641,10 @@ def _score_range_broadcast(pdf: pd.DataFrame, unpacked, dl, k, mode, k1,
             out_q.append(qid)
             out_d.append(doc)
             out_s.append(score)
+    if seeds is not None and not kth_only:
+        out_q, out_d, out_s = _floor_filter(
+            np.asarray(qids_l, dtype=np.int64), seeds,
+            out_q, out_d, out_s)
     t_end = time.monotonic()
     STATS["score_tasks"] += 1
     STATS["score_wall_s"] += t_end - t_start
@@ -626,6 +659,27 @@ def _score_range_broadcast(pdf: pd.DataFrame, unpacked, dl, k, mode, k1,
             "score": np.asarray(out_s, dtype=np.float64),
         })
     return _pack_candidates(out_q, out_d, out_s, n_qb)
+
+
+def _floor_filter(pack_qids, seeds_arr, out_q, out_d, out_s):
+    """Drop candidates strictly below their query's θ0 emission floor
+    (pack-aligned ``seeds_arr``; -1.0 = no floor). θ0 sits strictly
+    below the query's GLOBAL k-th score (it is nextafter-down of a k-th
+    over a doc subset, and adding docs can only raise the k-th), so
+    every doc of the true global top-k — ties at the k-th included —
+    scores ≥ θ0 and survives; the merge's result is bit-identical while
+    its input shrinks from ~groups×k to ~k candidates per query."""
+    n = len(out_q)
+    if n == 0:
+        return out_q, out_d, out_s
+    oq = np.asarray(out_q, dtype=np.int64)
+    od = np.asarray(out_d, dtype=np.int64)
+    os_ = np.asarray(out_s, dtype=np.float64)
+    th = seeds_arr[np.searchsorted(pack_qids, oq)]
+    keep = (th == -1.0) | (os_ >= th)
+    STATS["cand_emitted"] += int(keep.sum())
+    STATS["cand_floored"] += int(n - keep.sum())
+    return oq[keep], od[keep], os_[keep]
 
 
 def _kth_rows(out_q, out_s, k: int) -> pd.DataFrame:
@@ -781,9 +835,147 @@ def _prune_cached_segs(segs: DataFrame, term_ids: list) -> DataFrame:
     return segs.join(F.broadcast(wanted), "term_id", "left_semi")
 
 
+# process-resident serving cache (serving mode v2): the JVM-persisted
+# segment table (_serving_segs) removes the per-batch parquet scan and
+# shuffle, but each batch still ships every matched segment JVM→python
+# through Arrow (~the compressed index size per batch — measured as the
+# dominant between-task cost of warm batches at high core counts). From
+# the second search on a build the scoring job's INPUT becomes sp rows
+# of just the group key; each python worker keeps the groups it has
+# served as {term_id: [payload bytes]} chains plus a persistent kernel
+# TaskCache (decoded chains / factor arrays survive across batches),
+# loading missing terms straight from the index parquet with shard +
+# term + range predicate pushdown (no Spark job). Per warm batch the
+# only data movement is the O(Q) query-pack broadcast in and the
+# floored/top-k candidates out. The cluster analog is a serving fleet
+# with executor-resident index shards; the byte budget bounds worker
+# memory and parquet is the on-miss fallback, so an over-budget index
+# still serves (it pages), it just loses the residency win.
+_SEG_PCACHE: dict = {}
+_SEG_PCACHE_BUDGET = int(os.environ.get("W2D_SEG_PCACHE_MAX_BYTES",
+                                        4 << 30))
+
+
+def _pcache_entry(bid, sp, g) -> dict:
+    key = (bid, sp, g)
+    e = _SEG_PCACHE.get(key)
+    if e is None:
+        from word2doc_spark.query.kcache import TaskCache
+        e = _SEG_PCACHE[key] = {"terms": set(), "chains": {},
+                                "bytes": 0, "kcache": TaskCache()}
+    return e
+
+
+def _pcache_evict_over_budget() -> None:
+    total = sum(e["bytes"] + e["kcache"].charged_bytes()
+                for e in _SEG_PCACHE.values())
+    while total > _SEG_PCACHE_BUDGET and len(_SEG_PCACHE) > 1:
+        e = _SEG_PCACHE.pop(next(iter(_SEG_PCACHE)))
+        total -= e["bytes"] + e["kcache"].charged_bytes()
+
+
+def _pcache_add_chains(e: dict, new_chains: dict, known_tids) -> None:
+    """Merge chains into a group entry; ``known_tids`` are additionally
+    marked loaded (absent-from-group terms get no chain but stop being
+    re-queried). Grows the entry, so the grouped scorer's cached
+    active-doc space and factor arrays are invalidated — their offsets
+    are positions in the OLD active union and would silently mis-place
+    a new term's postings."""
+    added = False
+    for tid, ch in new_chains.items():
+        if tid not in e["terms"]:
+            e["chains"][tid] = ch
+            e["bytes"] += sum(len(p) for p in ch) + 64
+            added = True
+    e["terms"].update(new_chains)
+    e["terms"].update(known_tids)
+    if added:
+        kc = e["kcache"]
+        for key in [x for x in kc
+                    if isinstance(x, tuple) and x
+                    and x[0] in ("gactive", "gf")]:
+            kc.discard(key)
+        _pcache_evict_over_budget()
+
+
+def _pcache_populate(bid, sp, g, chains, pack_tids) -> None:
+    e = _pcache_entry(bid, sp, g)
+    _pcache_add_chains(e, chains, set(pack_tids))
+
+
+def _load_group_terms(index_dir, e, granges, missing,
+                      num_shards) -> None:
+    """Read the missing terms' segments for one range group directly
+    from the shards parquet (pyarrow, inside the python worker — no
+    Spark job): shard partition pruning via the term→shard route,
+    row-group pushdown on term_id, range restriction to the group."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    miss = [int(t) for t in missing]
+    ds = pads.dataset(os.path.join(index_dir, "shards"),
+                      format="parquet", partitioning="hive")
+    filt = (pc.field("term_id").isin(miss)
+            & pc.field("range_id").isin([int(r) for r in granges]))
+    shard_ids = sorted({t % num_shards for t in miss})
+    if len(shard_ids) < num_shards:
+        filt = filt & pc.field("shard_id").isin(shard_ids)
+    tbl = ds.to_table(columns=["term_id", "doc_lo", "payload"],
+                      filter=filt)
+    tids = tbl.column("term_id").to_numpy()
+    dlos = tbl.column("doc_lo").to_numpy()
+    payloads = tbl.column("payload").to_pylist()
+    order = np.lexsort((dlos, tids))
+    got: dict = {}
+    for i in order:
+        got.setdefault(int(tids[i]), []).append(payloads[i])
+    _pcache_add_chains(e, got, miss)
+
+
+def _pcache_runner(index_dir, bid, bc, k, mode, k1, b, avgdl, topk_fn,
+                   n_qb, sp, n_ranges, num_shards, seeds=None,
+                   only_groups=None, kth_only=False):
+    """Scoring closure for serving mode v2: input rows carry only the
+    group key; chains come from the worker's process cache (parquet
+    load on miss), dl blobs from the per-range process cache, and the
+    kernel TaskCache persists across batches per group."""
+    grouped_ok = os.environ.get("W2D_GROUPED_FAST", "1") != "0"
+    from word2doc_spark.index.build import _partition_slots
+    slots = _partition_slots(sp)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            if kth_only:
+                return _kth_rows([], [], k)
+            if n_qb:
+                return _pack_candidates([], [], [], n_qb)
+            return pd.DataFrame({
+                "query_id": pd.Series([], dtype="int64"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "score": pd.Series([], dtype="float64")})
+        t_start = time.monotonic()
+        g = int(pdf["_g"].iloc[0])
+        e = _pcache_entry(bid, sp, g)
+        unpacked = _unpack_groups_bc(bc)
+        missing = set(unpacked[2]) - e["terms"]
+        granges = [r for r in range(n_ranges) if slots[r % sp] == g]
+        if missing:
+            _load_group_terms(index_dir, e, granges, missing,
+                              num_shards)
+        dl = (_dl_for_ranges(index_dir, bid, granges)
+              if mode == "bm25" else None)
+        t_chains = time.monotonic()
+        return _score_group_core(e["chains"], dl, k, mode, k1, b,
+                                 avgdl, topk_fn, unpacked, seeds,
+                                 only_groups, n_qb, grouped_ok,
+                                 kth_only, g, e["kcache"], t_start,
+                                 t_chains)
+
+    return run
+
+
 def _broadcast_runner(index_dir, bid, bc, k, mode, k1, b, avgdl,
                       topk_fn, n_qb, sp, seeds=None, only_groups=None,
-                      kth_only=False):
+                      kth_only=False, pop_key=None):
     """Scoring closure for the broadcast shape. The query pack travels
     as the Spark broadcast variable ``bc`` (once per worker, not once
     per task — see _unpack_groups_bc); seeds/only_groups are small
@@ -812,19 +1004,22 @@ def _broadcast_runner(index_dir, bid, bc, k, mode, k1, b, avgdl,
                                       avgdl, topk_fn, seeds=seeds,
                                       only_groups=only_groups, n_qb=n_qb,
                                       grouped_ok=grouped_ok,
-                                      kth_only=kth_only)
+                                      kth_only=kth_only,
+                                      pop_key=pop_key)
 
     return run
 
 
 def _score_ranges_broadcast(spark, index_dir, term_pred, config, wqt,
                             k, mode, k1, b, avgdl, topk_fn, do_seed,
-                            bid=None, index_bytes=0):
+                            bid=None, index_bytes=0, n_ranges=0):
     """Range-grouped scoring with the query table in the kernel closure.
     Shuffle volume = each matched segment once (keyed by range_id) —
     independent of batch size; parallelism = n_ranges tasks (set ≫ cores
     at build time). In serving mode (repeat batches on one build) even
-    that per-batch exchange disappears — see _serving_segs."""
+    that per-batch exchange disappears: the scoring job's input becomes
+    sp group-key rows and chains come from the workers' process caches
+    (_SEG_PCACHE / _pcache_runner)."""
     groups = _wqt_groups(wqt)
     # one broadcast of the (token, pack) tuple serves the seed pass and
     # the main pass; destroyed at the start of the next search call
@@ -841,9 +1036,37 @@ def _score_ranges_broadcast(spark, index_dir, term_pred, config, wqt,
     slots = _partition_slots(sp)
     slot_arr = F.array(*[F.lit(x) for x in slots])
 
-    cached = _serving_segs(spark, index_dir, bid, sp, slot_arr,
-                           index_bytes)
-    if cached is not None:
+    # serving v2 (process-resident chains) is OPT-IN: measured on this
+    # single-box pool, task→python-worker assignment is arbitrary, so
+    # each of ~n_cores workers must independently fault in all sp
+    # groups before the residency pays (n_workers × n_groups parquet
+    # loads ≈ 8 batches of pure warm-up at the 500k bench — a net LOSS
+    # vs the JVM-persisted table there). On a cluster whose executors
+    # own stable range subsets (locality-scheduled serving fleet), the
+    # same code converges per executor and removes the per-batch
+    # segment exchange + Arrow transfer entirely.
+    v2_env = (os.environ.get("W2D_SERVING_V2", "0") == "1"
+              and os.environ.get("W2D_SERVING_CACHE", "1") == "1"
+              and bid is not None and n_ranges > 0
+              and (index_bytes or 0) <= _SEG_CACHE_MAX_BYTES)
+    use_v2 = False
+    cached = None
+    if v2_env:
+        key = (bid, sp)
+        _SEG_CACHE_SEEN[key] = _SEG_CACHE_SEEN.get(key, 0) + 1
+        use_v2 = _SEG_CACHE_SEEN[key] >= 2
+    else:
+        cached = _serving_segs(spark, index_dir, bid, sp, slot_arr,
+                               index_bytes)
+    if use_v2:
+        # serving mode v2: input = one row per slot group; segments are
+        # process-resident in the workers (parquet on miss) — no scan,
+        # no shuffle, no JVM→python segment transfer
+        segs = (spark.createDataFrame([(int(s),) for s in slots],
+                                      "_g int")
+                .repartition(sp, "_g"))
+        seg_persisted = True
+    elif cached is not None:
         segs = (_prune_cached_segs(cached, term_pred)
                 .select("range_id", "term_id", "doc_lo", "payload", "_g"))
         seg_persisted = True
@@ -862,8 +1085,26 @@ def _score_ranges_broadcast(spark, index_dir, term_pred, config, wqt,
                 .repartition(sp, "_g"))
         seg_persisted = False
 
+    # candidate-volume estimate picks the merge shape (computed early:
+    # it also gates the emission floor)
+    pack = len(groups[0]) * sp * k > _PACK_MIN_CANDIDATES
+
+    # candidate EMISSION FLOOR for the batch-kernel path: a θ-seed
+    # pre-pass buys each query a lower bound strictly below its global
+    # k-th, and every scoring task emits only candidates ≥ it — the
+    # merge result is bit-identical (see _floor_filter). Measured OFF by
+    # default: a single slot group's k-th floors only ~30% of the
+    # candidates on dense topical batches while the pre-pass re-pays the
+    # per-group fixed work, a net loss at the 500k bench. W2D_CAND_FLOOR:
+    # 0 = off (default), 1 = auto (pack-gated), force = always (tests).
+    floor_env = os.environ.get("W2D_CAND_FLOOR", "0")
+    want_floor = (not do_seed
+                  and getattr(topk_fn, "grouped_impl", None) is not None
+                  and (floor_env == "force"
+                       or (floor_env == "1" and pack)))
+
     seeds = None
-    if do_seed:
+    if do_seed or want_floor:
         if not seg_persisted:
             # the seed pre-pass and the main pass both consume the
             # matched segments — persist so the segment scan + shuffle
@@ -877,19 +1118,26 @@ def _score_ranges_broadcast(spark, index_dir, term_pred, config, wqt,
                                        config, wqt, groups, bc, segs,
                                        slots, sp, k, mode,
                                        k1, b, avgdl, topk_fn, bid,
-                                       segs_meta=cached)
+                                       segs_meta=cached,
+                                       v2=(use_v2, n_ranges,
+                                           config.num_shards))
 
-    # candidate-volume estimate picks the merge shape: a tiny batch's
-    # candidate rows window in one stage, faster than an extra python
-    # merge round-trip (~0.5 s of fixed stage cost); a big batch's
-    # candidates must never explode into Arrow rows (a 20k-query batch
-    # emits ~10^7) — they travel packed and merge vectorized
-    pack = len(groups[0]) * sp * k > _PACK_MIN_CANDIDATES
+    # merge shape: a tiny batch's candidate rows window in one stage,
+    # faster than an extra python merge round-trip (~0.5 s of fixed
+    # stage cost); a big batch's candidates must never explode into
+    # Arrow rows (a 20k-query batch emits ~10^7) — they travel packed
+    # and merge vectorized
     out_schema = CAND_BLOB_SCHEMA if pack else CAND_SCHEMA
     qb = sp if pack else None
 
-    run = _broadcast_runner(index_dir, bid, bc, k, mode, k1, b,
-                            avgdl, topk_fn, qb, sp, seeds=seeds)
+    if use_v2:
+        run = _pcache_runner(index_dir, bid, bc, k, mode, k1, b,
+                             avgdl, topk_fn, qb, sp, n_ranges,
+                             config.num_shards, seeds=seeds)
+    else:
+        run = _broadcast_runner(index_dir, bid, bc, k, mode, k1, b,
+                                avgdl, topk_fn, qb, sp, seeds=seeds,
+                                pop_key=((bid, sp) if v2_env else None))
     cand = segs.groupBy("_g").applyInPandas(run, out_schema)
     if pack:
         return _merge_topk_blobs(cand, k, sp, slot_arr)
@@ -948,7 +1196,7 @@ def _densest_ranges(spark, index_dir, term_pred, config,
 def _theta_seeds_broadcast(spark, index_dir, term_pred, config, wqt,
                            groups, bc, segs, slots, sp,
                            k, mode, k1, b, avgdl, topk_fn, bid=None,
-                           segs_meta=None):
+                           segs_meta=None, v2=(False, 0, 0)):
     """{query_id: θ0} for the broadcast path: pick each query's seed
     range executor-side (w·idf presence-mass over segment metadata ⋈
     broadcast weighted query terms — see _densest_ranges; the driver
@@ -977,9 +1225,17 @@ def _theta_seeds_broadcast(spark, index_dir, term_pred, config, wqt,
     # no cross-group merge: the seed job emits (query_id, kth) rows
     # directly — one stage + collect, where the pack→merge→window route
     # spent two extra stages and a second shuffle re-deriving it
-    run_seed = _broadcast_runner(index_dir, bid, bc, k, mode, k1, b,
-                                 avgdl, topk_fn, None, sp,
-                                 only_groups=only_groups, kth_only=True)
+    use_v2, n_ranges, num_shards = v2
+    if use_v2:
+        run_seed = _pcache_runner(index_dir, bid, bc, k, mode, k1, b,
+                                  avgdl, topk_fn, None, sp, n_ranges,
+                                  num_shards, only_groups=only_groups,
+                                  kth_only=True)
+    else:
+        run_seed = _broadcast_runner(index_dir, bid, bc, k, mode, k1, b,
+                                     avgdl, topk_fn, None, sp,
+                                     only_groups=only_groups,
+                                     kth_only=True)
     kth = (segs.groupBy("_g").applyInPandas(run_seed, SEED_KTH_SCHEMA)
            .collect())
     if not kth:

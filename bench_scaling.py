@@ -147,9 +147,14 @@ def main():
                 p.map(_burn, [work] * procs * 4)
                 return procs * 4 * work / (_t.time() - t0)
 
+        # ONE ratio from each side's best sample: steal only DEPRESSES
+        # a sample, so max(lo) and max(hi) are each the closest estimate
+        # of the substrate's true throughput at that width. (The old
+        # max-of-3-RATIOS estimator was biased upward: a stolen lo
+        # sample inside one ratio inflated it past 1.0 on bad days.)
         lo = max(run(n) for _ in range(3))
         hi = max(run(4 * n) for _ in range(3))
-        return hi / (4.0 * lo)
+        return lo, hi
 
     def _membw_probe():
         """Memory-STREAMING scaling ceiling: the same numpy triad loop at
@@ -169,7 +174,7 @@ def main():
 
         lo = max(run(n) for _ in range(3))
         hi = max(run(4 * n) for _ in range(3))
-        return hi / (4.0 * lo)
+        return lo, hi
 
     worker = os.path.join(REPO, "scripts", "scaling_worker.py")
     idx_dir = f"/tmp/w2d_scaling_idx_{n_docs}"
@@ -256,19 +261,21 @@ def main():
         ("batch query exact join (drqa)", "query_exact_s", n_q, "q/s"),
     ]
     # the ceiling is a property of the SUBSTRATE, which steal depresses
-    # unpredictably per sample — so sample each probe several times and
-    # take the MAX (steal only lowers a sample; the best sample is the
-    # closest estimate of the true ceiling, and dividing by the max keeps
-    # the normalized column CONSERVATIVE — a steal-depressed single-shot
-    # probe would inflate it)
+    # unpredictably per sample — so sample each SIDE several times and
+    # form ONE ratio from the two best sides (steal only lowers a
+    # sample, so each side's max is its closest estimate; ratios of
+    # per-round pairs were upward-biased whenever a round's lo side got
+    # stolen, occasionally reporting an impossible ceiling > 1)
     print("measuring hardware CPU-scaling ceiling (3 samples) ...",
           file=sys.stderr)
-    hw_samples = [_hw_probe() for _ in range(3)]
-    hw_eff = max(hw_samples)
+    hw_pairs = [_hw_probe() for _ in range(3)]
+    hw_eff = max(h for _, h in hw_pairs) / (
+        4.0 * max(l for l, _ in hw_pairs))
     print("measuring memory-bandwidth scaling ceiling (3 samples) ...",
           file=sys.stderr)
-    membw_samples = [_membw_probe() for _ in range(3)]
-    membw_eff = max(membw_samples)
+    mb_pairs = [_membw_probe() for _ in range(3)]
+    membw_eff = max(h for _, h in mb_pairs) / (
+        4.0 * max(l for l, _ in mb_pairs))
     rows = []
     for label, key, units, unit in phases:
         if key not in lo or key not in hi:
@@ -373,12 +380,13 @@ def main():
                   f" {eff / hw_eff:.2f} |")
     md += [
         "",
-        "Each ceiling is the MAX of 3 probe samples (steal only lowers a",
-        "sample, so the best sample is the closest estimate of the true",
-        "substrate ceiling, and dividing by the max keeps the normalized",
-        "column conservative — per-sample values are in",
-        "`scaling_summary.json`). Read raw efficiencies as the ground",
-        "truth and the normalized column as context.",
+        "Each ceiling is ONE ratio of the two sides' best samples",
+        "(3 probes per side; steal only lowers a sample, so each side's",
+        "max is its closest steal-free estimate — per-round ratios were",
+        "upward-biased whenever a round's N side got stolen; per-sample",
+        "(N, 4N) throughput pairs are in `scaling_summary.json`). Read",
+        "raw efficiencies as the ground truth and the normalized column",
+        "as context.",
         "",
         "**Reading the ratios round-over-round**: round 3's flagship",
         "fast-DAAT ratio (0.86 raw) was measured when the engine served",
@@ -531,8 +539,10 @@ def main():
         "shuffle_partitions": lo.get("shuffle_partitions"),
         "hw_ceiling_cpu": round(hw_eff, 4),
         "hw_ceiling_membw": round(membw_eff, 4),
-        "hw_ceiling_cpu_samples": [round(x, 4) for x in hw_samples],
-        "hw_ceiling_membw_samples": [round(x, 4) for x in membw_samples],
+        "hw_ceiling_cpu_samples": [
+            [round(l, 1), round(h, 1)] for l, h in hw_pairs],
+        "hw_ceiling_membw_samples": [
+            [round(l, 2), round(h, 2)] for l, h in mb_pairs],
         "phases": [
             {"label": label, "unit": unit,
              "thr_lo": round(a, 1), "thr_hi": round(b, 1),

@@ -37,32 +37,54 @@ def _md5_long(col) -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def _spread_input(df: DataFrame) -> DataFrame:
+    """Fan a low-parallelism input out to the session's shuffle width
+    BEFORE the expensive per-row hashing: a small corpus parquet reads as
+    a handful of scan tasks (one 20 MB file = ONE task at the default
+    128 MB split), which serializes the tokenize + K×md5 pipeline onto as
+    many cores. The shuffle moves the raw text once — cheaper than the
+    old plan's post-explode distinct, which shuffled the ~5× larger
+    shingle stream for the same parallelism. A big input (scan tasks ≥
+    shuffle partitions) passes through untouched — at production scale
+    this repartition never fires."""
+    sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() < sp:
+        return df.repartition(sp)
+    return df
+
+
+def _shingle_arr(tk: F.Column, n: int) -> F.Column:
+    """Per-row DISTINCT shingle array from a token array column.
+    sequence(0, size-n) would COUNT DOWN when size < n (Spark infers a
+    negative step) — guard short docs to an empty shingle list instead."""
+    return F.when(
+        F.size(tk) >= n,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.size(tk) - n),
+            lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) — distinct word n-gram shingles per doc.
 
     Built per row with higher-order functions — transform over a position
-    sequence + slice + concat_ws — then ONE explode + distinct. Zero
-    joins: the old plan exploded the token stream and self-joined it
-    (n−1) times on (doc_id, pos), shuffling the full token table twice
-    for n=3; this shape keeps shingle construction inside whole-stage
-    codegen and the only shuffle is the final distinct.
+    sequence + slice + concat_ws + array_distinct — then ONE explode.
+    ZERO shuffles and zero joins: per-doc distinctness is established
+    row-locally by array_distinct (``doc_id`` is the table key, so the
+    old post-explode global .distinct() deduplicated exactly within rows
+    — one full Exchange of the shingle stream for nothing), and the old
+    pre-v3 plan additionally self-joined the exploded token table (n−1)
+    times on (doc_id, pos).
 
     The token array is materialized in its OWN projection first: Catalyst
     does not CSE expressions into higher-order-function lambdas, so
     referencing sql_tokens(...) directly inside transform() re-tokenizes
     the document once per element (measured 6× slower at sf0.1)."""
-    tok_df = docs.select("doc_id", sql_tokens("text").alias("_tk"))
-    tk = F.col("_tk")
-    # sequence(0, size-n) would COUNT DOWN when size < n (Spark infers a
-    # negative step) — guard short docs to an empty shingle list instead
-    per_row = F.when(
-        F.size(tk) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(tk) - n),
-            lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n))),
-    ).otherwise(F.array().cast("array<string>"))
-    return (tok_df.select("doc_id", F.explode(per_row).alias("shingle"))
-            .distinct())
+    base = _spread_input(docs.select("doc_id", "text"))
+    tok_df = base.select("doc_id", sql_tokens("text").alias("_tk"))
+    per_row = _shingle_arr(F.col("_tk"), n)
+    return tok_df.select("doc_id", F.explode(per_row).alias("shingle"))
 
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:
@@ -77,22 +99,45 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
               .filter(F.col("n_dups") > 1))
 
 
+def _minhash_wide(docs: DataFrame, num_perm: int,
+                  shingle_n: int) -> DataFrame:
+    """(doc_id, _m0.._m{P-1}) — all P minhashes of a doc in ONE row via a
+    single groupBy(doc_id) over the per-doc-distinct shingle stream with
+    P min() aggregates. The P md5 hashes per shingle are plain projected
+    columns (whole-stage codegen — a per-row transform() lambda computing
+    the same hashes ran ~2× slower, HOF lambdas are interpreted), and the
+    map-side partial aggregation reduces the only Exchange to one row per
+    doc per map partition. Docs with zero shingles produce no row — the
+    same rows the old groupBy(doc_id, perm) never saw."""
+    sh = shingles(docs, shingle_n)
+    hcols = [_md5_long(F.concat_ws(":", F.lit(str(i)), F.col("shingle")))
+             .alias(f"_h{i}") for i in range(num_perm)]
+    return (sh.select("doc_id", *hcols)
+            .groupBy("doc_id")
+            .agg(*[F.min(f"_h{i}").alias(f"_m{i}")
+                   for i in range(num_perm)]))
+
+
 def minhash_signatures(docs: DataFrame, num_perm: int = 16,
                        shingle_n: int = 3) -> DataFrame:
     """(doc_id, perm, minhash) — K independent minhashes per doc.
     Permutation i's hash of shingle s = md5_long(i || ':' || s); min over
-    the doc's shingle set. Pure built-ins → exact SQL twin."""
-    sh = shingles(docs, shingle_n)
-    perms = F.explode(
-        F.sequence(F.lit(0).cast("long"), F.lit(num_perm - 1).cast("long"))
-    ).alias("perm")
-    expanded = sh.select("doc_id", "shingle", perms)
-    return (expanded
-            .select("doc_id", "perm",
-                    _md5_long(F.concat_ws(":", F.col("perm").cast("string"),
-                                          F.col("shingle"))).alias("h"))
-            .groupBy("doc_id", "perm")
-            .agg(F.min("h").alias("minhash")))
+    the doc's shingle set. Pure built-ins → exact SQL twin.
+
+    One groupBy(doc_id) with K min aggregates (_minhash_wide) + a K-way
+    struct explode. The old plan shuffled the expanded stream twice —
+    a global (doc, shingle) distinct (now row-local array_distinct in
+    shingles) and a groupBy(doc_id, perm) over K× exploded rows; this
+    shape's only Exchange carries one partially-aggregated row per doc."""
+    agg = _minhash_wide(docs, num_perm, shingle_n)
+    mh = F.array(*[
+        F.struct(F.lit(i).cast("long").alias("perm"),
+                 F.col(f"_m{i}").alias("minhash"))
+        for i in range(num_perm)])
+    return (agg.select("doc_id", F.explode(mh).alias("_pm"))
+            .select("doc_id",
+                    F.col("_pm").getField("perm").alias("perm"),
+                    F.col("_pm").getField("minhash").alias("minhash")))
 
 
 def lsh_candidate_pairs(docs: DataFrame, num_perm: int = 16,
@@ -101,15 +146,34 @@ def lsh_candidate_pairs(docs: DataFrame, num_perm: int = 16,
 
     band signature = md5 of the band's concatenated minhashes; equi-join
     on (band, signature) — no cross join, shuffle keyed by band buckets.
-    """
+
+    Band signatures are computed from the one-row-per-doc minhash table
+    (_minhash_wide): the band's "perm:minhash" entries sorted with
+    sort_array — byte-identical to the old sort_array(collect_list(...))
+    over grouped rows — then a (band, band_sig) struct explode. Each join
+    side pays ONE Exchange (the doc groupBy) before the join's own; the
+    old plan paid three per side (shingle distinct, minhash groupBy,
+    band groupBy)."""
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(docs, num_perm, shingle_n)
-    banded = (sig.withColumn("band",
-                             F.floor(F.col("perm") / rows_per_band).cast("int"))
-                 .groupBy("doc_id", "band")
-                 .agg(F.md5(F.concat_ws(",", F.sort_array(
-                     F.collect_list(F.concat_ws(":", "perm", "minhash")))))
-                      .alias("band_sig")))
+    band_perms: dict[int, list[int]] = {}
+    for p in range(num_perm):
+        band_perms.setdefault(p // rows_per_band, []).append(p)
+
+    def band_sig(perms: list[int]) -> F.Column:
+        entries = [F.concat_ws(":", F.lit(str(p)),
+                               F.col(f"_m{p}").cast("string"))
+                   for p in perms]
+        return F.md5(F.concat_ws(",", F.sort_array(F.array(*entries))))
+
+    bands_arr = F.array(*[
+        F.struct(F.lit(band).cast("int").alias("band"),
+                 band_sig(perms).alias("band_sig"))
+        for band, perms in sorted(band_perms.items())])
+    banded = (_minhash_wide(docs, num_perm, shingle_n)
+              .select("doc_id", F.explode(bands_arr).alias("_bb"))
+              .select("doc_id",
+                      F.col("_bb").getField("band").alias("band"),
+                      F.col("_bb").getField("band_sig").alias("band_sig")))
     a = banded.alias("a")
     b = banded.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))

@@ -33,20 +33,46 @@ def cosine_col(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _spread_input(df: DataFrame) -> DataFrame:
+    """Fan a low-parallelism input out to the session's shuffle width
+    before per-row vector math — a small parquet reads as one scan task
+    at the default 128 MB split, serializing the fold pipeline onto one
+    core. No-op when scan parallelism already covers the shuffle width
+    (production scale)."""
+    sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() < sp:
+        return df.repartition(sp)
+    return df
+
+
 def brute_force_topk(vectors: DataFrame, queries: DataFrame,
                      k: int = 5) -> DataFrame:
     """vectors(vec_id, embedding), queries(query_vec_id, embedding) →
-    (query_vec_id, rank, neighbor_id, cosine). Excludes self-matches."""
+    (query_vec_id, rank, neighbor_id, cosine). Excludes self-matches.
+
+    Per-side norms are precomputed BEFORE the crossJoin: cosine =
+    dot/(qn·vn) then evaluates one array fold per pair instead of three
+    (the old plan re-folded both norms for every (query, vector) pair —
+    Q× per vector, N× per query; values are bit-identical, the fold and
+    the multiply order are unchanged). The streamed vector side is
+    spread to the shuffle width first (_spread_input): a small vector
+    parquet is one scan task, which would serialize all Q·N folds onto
+    one core."""
     from pyspark.sql import Window
 
-    q = queries.select(F.col("query_vec_id"),
-                       F.col("embedding").cast("array<double>").alias("qe"))
-    v = vectors.select(F.col("vec_id").alias("neighbor_id"),
-                       F.col("embedding").cast("array<double>").alias("ve"))
+    q = (queries.select(
+            F.col("query_vec_id"),
+            F.col("embedding").cast("array<double>").alias("qe"))
+         .withColumn("_qn", _norm(F.col("qe"))))
+    v = (_spread_input(vectors.select("vec_id", "embedding"))
+         .select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("embedding").cast("array<double>").alias("ve"))
+         .withColumn("_vn", _norm(F.col("ve"))))
     scored = (v.crossJoin(F.broadcast(q))
                .filter(F.col("neighbor_id") != F.col("query_vec_id"))
                .select("query_vec_id", "neighbor_id",
-                       F.round(cosine_col(F.col("qe"), F.col("ve")), 6)
+                       F.round(_dot(F.col("qe"), F.col("ve"))
+                               / (F.col("_qn") * F.col("_vn")), 6)
                         .alias("cosine")))
     w = Window.partitionBy("query_vec_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id"))

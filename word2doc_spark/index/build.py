@@ -350,6 +350,52 @@ def _encode_dl_runs(range_width: int, chunk_docs: int, block_size: int):
     return gen
 
 
+def _build_doclen(spark: SparkSession, stage_path: str, doclen_path: str,
+                  doclen_seg_path: str, range_width: int,
+                  config: IndexConfig, sp: int) -> int:
+    """doclen + doclen_seg tables decoded from the staged dl blobs
+    (the shard_id = -1 hive partition); returns total_dl — the avgdl
+    numerator, summed here so publish needs no extra Spark job.
+    Independent of the segment encode: build_index runs this chain in a
+    driver thread overlapping the encode jobs (guide §2.6)."""
+
+    def decode_dl_pairs(it):
+        import numpy as np  # noqa: F811
+        import pandas as pd  # noqa: F811
+        from word2doc_spark.index.postings import unpack_pairs
+        for pdf in it:
+            parts = [unpack_pairs(bytes(b)) for b in pdf["blob"]]
+            parts = [p for p in parts if p[0].size]
+            if not parts:
+                continue
+            yield pd.DataFrame({
+                "doc_id": np.concatenate([p[0] for p in parts]),
+                "dl": np.concatenate([p[1] for p in parts]),
+            })
+
+    staged = spark.read.parquet(stage_path)
+    (staged.filter(F.col("shard_id") == -1).select("blob")
+           .mapInPandas(decode_dl_pairs, "doc_id long, dl long")
+           .write.mode("overwrite").parquet(doclen_path))
+    doclen = spark.read.parquet(doclen_path)
+    dl_keyed = doclen.withColumn(
+        "range_id", (F.col("doc_id") / F.lit(range_width)).cast("int")
+    ).withColumn(
+        "chunk_id",
+        ((F.col("doc_id") % F.lit(range_width))
+         / F.lit(config.dl_chunk_docs)).cast("int"))
+    (dl_keyed.repartition(sp, "range_id", "chunk_id")
+             .sortWithinPartitions("doc_id")
+             .select("doc_id", "dl")
+             .mapInPandas(_encode_dl_runs(range_width,
+                                          config.dl_chunk_docs,
+                                          config.block_size),
+                          schema=DL_SEG_SCHEMA)
+             .write.mode("overwrite").parquet(doclen_seg_path))
+    agg = doclen.agg(F.sum("dl").alias("total_dl")).collect()[0]
+    return int(agg["total_dl"] or 0)
+
+
 # ---------------------------------------------------------------------------
 # build driver
 # ---------------------------------------------------------------------------
@@ -403,24 +449,31 @@ def _sample_url_bounds(pages: DataFrame, n_buckets: int,
     sampling the raw ``url`` column instead is a cheap column-pruned scan
     with no Python in it. Boundaries are approximate — the empty-text
     filter later removes some urls — which only skews bucket sizes
-    slightly, never correctness (ids come from per-bucket counts)."""
-    # count first (a metadata-cheap scan), then either collect every url
-    # (small corpora: exact quantiles) or a bounded sample — the old
-    # limit(max_sample+1) probe shipped 100k rows through the driver just
-    # to learn the corpus was big
-    n = pages.count()
-    if n == 0:
+    slightly, never correctness (ids come from per-bucket counts).
+
+    ONE job: each partition returns (its row count, up to ``cap``
+    evenly-spaced urls from its sorted slice). The old count-then-collect
+    shape materialized the input twice before the extract cache — for a
+    driver-local (parallelize) corpus that is two full pickles of every
+    page — just to learn n before choosing collect vs sample. When no
+    partition truncates (any corpus ≤ max_sample with even partitions)
+    the combined sample is every url, i.e. the same exact quantiles the
+    old full-collect produced; truncated partitions degrade to stratified
+    evenly-spaced samples, still quantile-preserving per slice."""
+    rdd = pages.select("url").rdd
+    cap = max(256, max_sample // max(rdd.getNumPartitions(), 1))
+
+    def part_sample(it):
+        urls = sorted(r[0] for r in it)
+        n = len(urls)
+        if n > cap:
+            urls = [urls[(i * n) // cap] for i in range(cap)]
+        yield (n, urls)
+
+    parts = rdd.mapPartitions(part_sample).collect()
+    if sum(p[0] for p in parts) == 0:
         return []
-    if n <= max_sample:
-        urls = sorted(r["url"] for r in pages.select("url").collect())
-    else:
-        frac = min(1.0, max_sample / max(n, 1))
-        urls = sorted(r["url"] for r in
-                      pages.select("url").sample(False, frac, seed=7)
-                      .collect())
-        if not urls:
-            urls = sorted(r["url"] for r in
-                          pages.select("url").limit(1024).collect())
+    urls = sorted(u for _, us in parts for u in us)
     bounds = {urls[min(len(urls) - 1, (i * len(urls)) // n_buckets)]
               for i in range(1, n_buckets)}
     return sorted(bounds)
@@ -478,6 +531,28 @@ def _partition_slots(n_parts: int) -> list[int]:
             found += 1
         k += 1
     return slots  # type: ignore[return-value]
+
+
+def _concurrent_jobs(*named_fns):
+    """Run independent Spark actions from driver threads so the tail of
+    one job back-fills executors freed by the other (the scheduler runs
+    concurrent jobs FIFO — exactly the overlap shape of guide §2.6).
+    Re-raises the first failure after all threads join."""
+    errs: list = []
+    threads = []
+    for name, fn in named_fns:
+        def w(fn=fn, name=name):
+            try:
+                fn()
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                errs.append((name, e))
+        t = threading.Thread(target=w, name=f"build-{name}", daemon=True)
+        t.start()
+        threads.append(t)
+    for t in threads:
+        t.join()
+    if errs:
+        raise errs[0][1]
 
 
 _WARMED_SESSIONS: set = set()
@@ -635,11 +710,6 @@ def build_index(
                         pos[key] = start + (e - s)
                     yield pd.DataFrame({"doc_id": out, "url": pdf["url"]})
 
-            (ranged.select("url", "_pkey")
-                   .mapInPandas(ids_only, "doc_id long, url string")
-                   .write.mode("overwrite").parquet(docs_path))
-            t_sub = _lap("doc_ids", t_sub)
-
             ngram, hash_size = config.ngram, config.hash_size
             analyzer_name = config.analyzer
             num_shards = config.num_shards
@@ -719,50 +789,24 @@ def build_index(
                         [(-1, int(d[0]) % n_routes, blob)],
                         columns=["shard_id", "route", "blob"])
 
-            (ranged.select("text", "_pkey")
-                   .mapInPandas(ids_and_analyze, STAGE_SCHEMA)
-                   .write.mode("overwrite")
-                   .partitionBy("shard_id").parquet(stage_path))
-            t_sub = _lap("analyze_stage", t_sub)
-            # doc lengths (bm25 dl): decode the dl blob partition into the
-            # plain doclen table (exact-path join, avgdl) — an N-pair read of
-            # one hive partition, not a full-posting-stream aggregation
-            staged = spark.read.parquet(stage_path)
-
-            def decode_dl_pairs(it):
-                import numpy as np  # noqa: F811
-                import pandas as pd  # noqa: F811
-                from word2doc_spark.index.postings import unpack_pairs
-                for pdf in it:
-                    parts = [unpack_pairs(bytes(b)) for b in pdf["blob"]]
-                    parts = [p for p in parts if p[0].size]
-                    if not parts:
-                        continue
-                    yield pd.DataFrame({
-                        "doc_id": np.concatenate([p[0] for p in parts]),
-                        "dl": np.concatenate([p[1] for p in parts]),
-                    })
-
-            (staged.filter(F.col("shard_id") == -1).select("blob")
-                   .mapInPandas(decode_dl_pairs, "doc_id long, dl long")
-                   .write.mode("overwrite").parquet(doclen_path))
-            t_sub = _lap("doclen", t_sub)
-            doclen = spark.read.parquet(doclen_path)
-            dl_keyed = doclen.withColumn(
-                "range_id", (F.col("doc_id") / F.lit(range_width)).cast("int")
-            ).withColumn(
-                "chunk_id",
-                ((F.col("doc_id") % F.lit(range_width))
-                 / F.lit(config.dl_chunk_docs)).cast("int"))
-            (dl_keyed.repartition(sp, "range_id", "chunk_id")
-                     .sortWithinPartitions("doc_id")
-                     .select("doc_id", "dl")
-                     .mapInPandas(_encode_dl_runs(range_width,
-                                                  config.dl_chunk_docs,
-                                                  config.block_size),
-                                  schema=DL_SEG_SCHEMA)
-                     .write.mode("overwrite").parquet(doclen_seg_path))
-            t_sub = _lap("doclen_seg", t_sub)
+            # doc-ids and analysis are INDEPENDENT passes over the cached
+            # corpus — run them as concurrent jobs (guide §2.6) so the
+            # light ids pass back-fills executors the analyze stage's
+            # stragglers leave idle (sequential they cost wall(ids) +
+            # wall(analyze); ids_only is numpy-cheap, so its workers
+            # barely contend with the analyzer's)
+            _concurrent_jobs(
+                ("doc_ids",
+                 lambda: (ranged.select("url", "_pkey")
+                          .mapInPandas(ids_only, "doc_id long, url string")
+                          .write.mode("overwrite").parquet(docs_path))),
+                ("analyze_stage",
+                 lambda: (ranged.select("text", "_pkey")
+                          .mapInPandas(ids_and_analyze, STAGE_SCHEMA)
+                          .write.mode("overwrite")
+                          .partitionBy("shard_id").parquet(stage_path))),
+            )
+            t_sub = _lap("ids+analyze", t_sub)
         finally:
             # restore session state even when extract/analyze
             # throws — a leaked conf would leave cache
@@ -779,6 +823,36 @@ def build_index(
     range_width = manifest.read_marker("stage").get(
         "range_width",
         range_width_for(n_docs, resolve_n_ranges(config, n_docs)))
+
+    # -- stage 2b ∥ 3: the doc-length tables (doclen, doclen_seg, total
+    #    dl) and the segment encode both derive from the staged blobs and
+    #    are independent of each other — the dl chain runs in a driver
+    #    thread overlapping the encode jobs (guide §2.6: concurrent jobs
+    #    back-fill each other's stragglers). Its marker carries total_dl
+    #    so publish computes avgdl without a Spark job.
+    total_dl_holder = [0]
+    dl_thread = None
+    dl_errs: list = []
+    if manifest.has_marker("dl", fp):
+        metrics["resumed_stages"].append("dl")
+        total_dl_holder[0] = int(
+            manifest.read_marker("dl").get("total_dl", 0))
+    else:
+        def _dl_work():
+            try:
+                t0dl = time.time()
+                total_dl_holder[0] = _build_doclen(
+                    spark, stage_path, doclen_path, doclen_seg_path,
+                    range_width, config, sp)
+                manifest.write_marker(
+                    "dl", fp, wall_s=round(time.time() - t0dl, 2),
+                    total_dl=total_dl_holder[0])
+            except BaseException as e:  # noqa: BLE001 — re-raised at join
+                dl_errs.append(e)
+
+        dl_thread = threading.Thread(target=_dl_work, name="build-dl",
+                                     daemon=True)
+        dl_thread.start()
 
     # -- stage 3: segment encode (one job by default; grouped for finer
     #    resume). Dynamic partition overwrite makes a rerun of a group
@@ -813,19 +887,26 @@ def build_index(
                 .write.mode("overwrite").partitionBy("shard_id")
                 .parquet(shards_path))
             wall = time.time() - t0
-            # derive the per-term stats table + per-shard lineage rows from
-            # the segment METADATA (column-pruned scan; payloads unread)
+            # derive the per-term stats table from the segment METADATA
+            # (column-pruned scan; payloads unread), carrying per-term
+            # segment/byte counts so the per-shard lineage rows aggregate
+            # from the TINY terms table — the old second scan+groupBy
+            # over the shards metadata is folded into the same pass
             written = spark.read.parquet(shards_path).filter(
                 F.col("shard_id").isin(group))
             term_stats = (written.groupBy("shard_id", "term_id")
-                          .agg(F.sum("n_postings").alias("df")))
+                          .agg(F.sum("n_postings").alias("df"),
+                               F.count("*").alias("segments"),
+                               F.sum(F.length("payload")).alias("bytes")))
             (term_stats.write.mode("overwrite").partitionBy("shard_id")
              .parquet(terms_path))
-            srows = (written.groupBy("shard_id")
-                     .agg(F.countDistinct("term_id").alias("terms"),
-                          F.count("*").alias("segments"),
-                          F.sum("n_postings").alias("postings"),
-                          F.sum(F.length("payload")).alias("bytes"))
+            srows = (spark.read.parquet(terms_path)
+                     .filter(F.col("shard_id").isin(group))
+                     .groupBy("shard_id")
+                     .agg(F.count("*").alias("terms"),
+                          F.sum("segments").alias("segments"),
+                          F.sum("df").alias("postings"),
+                          F.sum("bytes").alias("bytes"))
                      .collect())
             got = {r["shard_id"]: r for r in srows}
             for shard_id in group:
@@ -842,15 +923,19 @@ def build_index(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode",
                        overwrite_mode)
 
+    if dl_thread is not None:
+        dl_thread.join()
+        if dl_errs:
+            raise dl_errs[0]
+
     # -- stage 4: publish -------------------------------------------------
     shard_rows = manifest.shard_metrics()
-    doclen = spark.read.parquet(doclen_path)
     # avgdl over ALL N docs — docs whose text yields zero kept terms have
-    # dl = 0 and are absent from doclen rows but still count in the mean
-    agg = doclen.agg(F.sum("dl").alias("total_dl")).collect()[0]
+    # dl = 0 and are absent from doclen rows but still count in the mean;
+    # total_dl was summed inside the dl stage (no publish-time Spark job)
     stats = {
         "n_docs": n_docs,
-        "avgdl": (float(agg["total_dl"] or 0) / n_docs) if n_docs else 0.0,
+        "avgdl": (float(total_dl_holder[0]) / n_docs) if n_docs else 0.0,
         "range_width": range_width,
         "n_terms": sum(r["n_terms"] for r in shard_rows),
         "n_postings": sum(r["n_postings"] for r in shard_rows),

@@ -276,11 +276,21 @@ def _encode_segments(blobs: DataFrame, config: IndexConfig,
     lexsorts once, and streams through the same run-encoder v3 used."""
     slots = _partition_slots(shuffle_partitions)
     slot_arr = F.array(*[F.lit(s) for s in slots])
+    if shuffle_partitions % config.num_shards == 0 \
+            and shuffle_partitions >= config.num_shards:
+        # shard-aligned placement: task p holds routes of exactly ONE
+        # shard, so the partitionBy(shard_id) write emits one file per
+        # task (sp files) instead of up to sp × num_shards tiny files —
+        # the write and every later shards scan (term stats, query
+        # pruning, serving-cache load) pay per-file open cost (guide §6)
+        k = shuffle_partitions // config.num_shards
+        part_idx = (F.col("shard_id") * k
+                    + F.pmod(F.col("route"), F.lit(k)))
+    else:
+        part_idx = F.pmod(F.col("shard_id") * 100003 + F.col("route"),
+                          F.lit(shuffle_partitions))
     keyed = (blobs.withColumn(
-        "_slot", F.element_at(
-            slot_arr,
-            F.pmod(F.col("shard_id") * 100003 + F.col("route"),
-                   F.lit(shuffle_partitions)) + 1))
+        "_slot", F.element_at(slot_arr, part_idx + 1))
         .repartition(shuffle_partitions, "_slot")
         .select("blob"))
     run_encode = _encode_segment_runs(range_width, config.max_seg_postings,

@@ -285,6 +285,12 @@ def resolve_analysis_mode(queries: DataFrame, analysis: str,
         mode = analysis
     elif analysis != "auto":
         raise ValueError(analysis)
+    elif getattr(queries, "_w2d_probe", None) is not None:
+        # same queries DataFrame object probed before (a serving loop
+        # re-issuing one batch across paths/modes): the probe collect is
+        # a pure function of the immutable DataFrame — reuse it instead
+        # of re-running a 1-job collect per search call
+        mode, rows = queries._w2d_probe
     elif queries.isLocal():
         # a LocalRelation batch is driver-resident already — no job
         # needed to know it is small (NOTE: list-built createDataFrame
@@ -310,6 +316,10 @@ def resolve_analysis_mode(queries: DataFrame, analysis: str,
                 rows = None
         finally:
             spark.conf.set(key, old)
+        try:
+            queries._w2d_probe = (mode, rows)
+        except Exception:
+            pass
     return (mode, rows) if with_rows else mode
 
 
@@ -479,9 +489,16 @@ def search_exact(
 
     contribs = joined.mapInPandas(score_terms, schema=out_schema)
 
+    # one exchange for BOTH the aggregation and the top-k window: an
+    # explicit hash repartition on query_id satisfies the clustering
+    # requirement of groupBy(query_id, doc_id) (subset partitioning) AND
+    # of the query_id window, so the agg + window run in the same stage
+    # — the naive plan paid two back-to-back Exchanges (one per key set)
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     if mode == "drqa":
-        scored = contribs.groupBy("query_id", "doc_id").agg(
-            F.sum("contrib").alias("score"))
+        scored = (contribs.repartition(sp, "query_id")
+                  .groupBy("query_id", "doc_id")
+                  .agg(F.sum("contrib").alias("score")))
     else:
         doclen = spark.read.parquet(os.path.join(index_dir, "doclen"))
         with_dl = contribs.join(doclen, "doc_id")
@@ -490,8 +507,9 @@ def search_exact(
             F.col("w") * (F.col("tf") * (k1 + 1.0)) /
             (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)),
         )
-        scored = per_term.groupBy("query_id", "doc_id").agg(
-            F.sum("contrib").alias("score"))
+        scored = (per_term.repartition(sp, "query_id")
+                  .groupBy("query_id", "doc_id")
+                  .agg(F.sum("contrib").alias("score")))
 
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id"))

@@ -384,6 +384,11 @@ def _build_doclen(spark: SparkSession, stage_path: str, doclen_path: str,
             })
 
     staged = spark.read.parquet(stage_path)
+    # sequential chain INSIDE the dl thread: the whole chain already
+    # overlaps the segment encode; fanning these three jobs out
+    # concurrently as well was measured SLOWER (4 simultaneous python
+    # stages × n_cores workers oversubscribe the box — encode wall
+    # inflated ~2× at the sf0.1 bench)
     (staged.filter(F.col("shard_id") == -1).select("blob")
            .mapInPandas(decode_dl_pairs, "doc_id long, dl long")
            .write.mode("overwrite").parquet(doclen_path))

@@ -49,10 +49,17 @@ def extracted_docs(pages: DataFrame, lang_filter: str | None = None,
     df = pages
     if lang_filter:
         df = df.filter(F.col("lang") == lang_filter)
+    # Catalyst hoists the python UDF out of the CASE into an
+    # ArrowEvalPython node that runs for EVERY row — so the html of rows
+    # that already carry text is masked to NULL *inside the UDF's input
+    # expression*: those rows cross the Arrow boundary as nulls (no
+    # bytes shipped) and take extract_text's None fast path instead of
+    # paying the full regex extraction for a result the CASE discards
+    has_text = F.col("text").isNotNull() & (F.length("text") > 0)
     df = df.withColumn(
         "text",
-        F.when(F.col("text").isNotNull() & (F.length("text") > 0), F.col("text"))
-         .otherwise(extract_udf(F.col("html"))),
+        F.when(has_text, F.col("text"))
+         .otherwise(extract_udf(F.when(~has_text, F.col("html")))),
     )
     out = (
         df.filter(F.col("text").isNotNull() & (F.length("text") > 0))

@@ -174,6 +174,13 @@ def lsh_candidate_pairs(docs: DataFrame, num_perm: int = 16,
               .select("doc_id",
                       F.col("_bb").getField("band").alias("band"),
                       F.col("_bb").getField("band_sig").alias("band_sig")))
+    # materialize the (tiny, bands-per-doc-row) band table ONCE before
+    # the self-join: Catalyst plans each join side as an independent
+    # subtree, so without this both sides re-run the whole tokenize +
+    # shingle + K×md5 + groupBy lineage (eager so the join stages can
+    # never race the first materialization; executor-local storage,
+    # cleaned by the ContextCleaner when the DataFrame is collected)
+    banded = banded.localCheckpoint(eager=True)
     a = banded.alias("a")
     b = banded.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))

@@ -262,7 +262,11 @@ def _arrow_conversions(spark: SparkSession):
     try:
         yield
     finally:
-        spark.conf.set(key, old)
+        # restore only if the flag still holds OUR value: two scopes
+        # interleaving on one session must not clobber each other's
+        # restore (outermost-wins would re-disable a scope still active)
+        if spark.conf.get(key, "false") == "true":
+            spark.conf.set(key, old)
 
 
 def resolve_analysis_mode(queries: DataFrame, analysis: str,

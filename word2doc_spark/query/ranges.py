@@ -688,7 +688,11 @@ def _kth_rows(out_q, out_s, k: int) -> pd.DataFrame:
     per-query loop and the grouped scorer (each query scores in one chunk
     or the fallback, never both). Queries with fewer than k matched docs
     emit nothing: their local k-th does not exist, so they stay unseeded
-    (exactly what filter(rank == k) produced on the merge route)."""
+    (exactly what filter(rank == k) produced on the merge route). Reads
+    the score at starts + k - 1 under ``lens >= k`` so a kernel that
+    ever emits MORE than k rows per query (e.g. keeping ties past the
+    k-th) still seeds from its true k-th instead of silently unseeding
+    (current kernels cap emission at k, making this equivalent)."""
     qarr = np.asarray(out_q, dtype=np.int64)
     sarr = np.asarray(out_s, dtype=np.float64)
     if qarr.size == 0:
@@ -697,9 +701,9 @@ def _kth_rows(out_q, out_s, k: int) -> pd.DataFrame:
     starts = np.flatnonzero(np.concatenate(([True],
                                             qarr[1:] != qarr[:-1])))
     lens = np.diff(np.concatenate((starts, [qarr.size])))
-    keep = lens == k
+    keep = lens >= k
     return pd.DataFrame({"query_id": qarr[starts[keep]],
-                         "score": sarr[(starts + lens - 1)[keep]]})
+                         "score": sarr[starts[keep] + k - 1]})
 
 
 def _pack_candidates(out_q, out_d, out_s, n_qb: int) -> pd.DataFrame:
@@ -866,21 +870,35 @@ def _pcache_entry(bid, sp, g) -> dict:
     return e
 
 
-def _pcache_evict_over_budget() -> None:
-    total = sum(e["bytes"] + e["kcache"].charged_bytes()
-                for e in _SEG_PCACHE.values())
+def _pcache_size(e: dict) -> int:
+    # chains + kernel-cache bytes + a rough charge for the known-terms
+    # set (64 B/entry), which the old accounting left out of the budget
+    return (e["bytes"] + e["kcache"].charged_bytes()
+            + 64 * len(e["terms"]))
+
+
+def _pcache_evict_over_budget(keep_key=None) -> None:
+    total = sum(_pcache_size(e) for e in _SEG_PCACHE.values())
     while total > _SEG_PCACHE_BUDGET and len(_SEG_PCACHE) > 1:
-        e = _SEG_PCACHE.pop(next(iter(_SEG_PCACHE)))
-        total -= e["bytes"] + e["kcache"].charged_bytes()
+        # never evict the entry that was just populated / is actively
+        # serving (mirror TaskCache.charge's just-charged exemption) —
+        # FIFO used to evict it when one group's chains blew the
+        # budget, re-faulting the group from parquet every warm batch
+        victim = next((x for x in _SEG_PCACHE if x != keep_key), None)
+        if victim is None:
+            break
+        total -= _pcache_size(_SEG_PCACHE.pop(victim))
 
 
-def _pcache_add_chains(e: dict, new_chains: dict, known_tids) -> None:
+def _pcache_add_chains(e: dict, new_chains: dict, known_tids,
+                       key=None) -> None:
     """Merge chains into a group entry; ``known_tids`` are additionally
     marked loaded (absent-from-group terms get no chain but stop being
     re-queried). Grows the entry, so the grouped scorer's cached
     active-doc space and factor arrays are invalidated — their offsets
     are positions in the OLD active union and would silently mis-place
-    a new term's postings."""
+    a new term's postings. ``key`` exempts this entry from the eviction
+    sweep it may trigger."""
     added = False
     for tid, ch in new_chains.items():
         if tid not in e["terms"]:
@@ -891,20 +909,20 @@ def _pcache_add_chains(e: dict, new_chains: dict, known_tids) -> None:
     e["terms"].update(known_tids)
     if added:
         kc = e["kcache"]
-        for key in [x for x in kc
-                    if isinstance(x, tuple) and x
-                    and x[0] in ("gactive", "gf")]:
-            kc.discard(key)
-        _pcache_evict_over_budget()
+        for ck in [x for x in kc
+                   if isinstance(x, tuple) and x
+                   and x[0] in ("gactive", "gf")]:
+            kc.discard(ck)
+        _pcache_evict_over_budget(keep_key=key)
 
 
 def _pcache_populate(bid, sp, g, chains, pack_tids) -> None:
     e = _pcache_entry(bid, sp, g)
-    _pcache_add_chains(e, chains, set(pack_tids))
+    _pcache_add_chains(e, chains, set(pack_tids), key=(bid, sp, g))
 
 
 def _load_group_terms(index_dir, e, granges, missing,
-                      num_shards) -> None:
+                      num_shards, key=None) -> None:
     """Read the missing terms' segments for one range group directly
     from the shards parquet (pyarrow, inside the python worker — no
     Spark job): shard partition pruning via the term→shard route,
@@ -928,7 +946,7 @@ def _load_group_terms(index_dir, e, granges, missing,
     got: dict = {}
     for i in order:
         got.setdefault(int(tids[i]), []).append(payloads[i])
-    _pcache_add_chains(e, got, miss)
+    _pcache_add_chains(e, got, miss, key=key)
 
 
 def _pcache_runner(index_dir, bid, bc, k, mode, k1, b, avgdl, topk_fn,
@@ -960,7 +978,7 @@ def _pcache_runner(index_dir, bid, bc, k, mode, k1, b, avgdl, topk_fn,
         granges = [r for r in range(n_ranges) if slots[r % sp] == g]
         if missing:
             _load_group_terms(index_dir, e, granges, missing,
-                              num_shards)
+                              num_shards, key=(bid, sp, g))
         dl = (_dl_for_ranges(index_dir, bid, granges)
               if mode == "bm25" else None)
         t_chains = time.monotonic()
@@ -1052,7 +1070,11 @@ def _score_ranges_broadcast(spark, index_dir, term_pred, config, wqt,
     use_v2 = False
     cached = None
     if v2_env:
-        key = (bid, sp)
+        # v2 keeps its OWN seen-counter key: sharing the legacy serving
+        # cache's counter meant toggling W2D_SERVING_V2 mid-session
+        # inherited the other mode's warm-up count and flipped v2 on for
+        # a first-ever v2 batch (ADVICE r5)
+        key = ("v2", bid, sp)
         _SEG_CACHE_SEEN[key] = _SEG_CACHE_SEEN.get(key, 0) + 1
         use_v2 = _SEG_CACHE_SEEN[key] >= 2
     else:

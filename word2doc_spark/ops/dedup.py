@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
-from word2doc_spark.ops.textstats import sql_tokens
+from word2doc_spark.ops.textstats import spread_input, sql_tokens
 
 # md5-prefix hash: deterministic and identical in DuckDB
 # (Spark: conv(substring(md5(s),1,15),16,10); DuckDB: from_hex / strtol)
@@ -37,20 +37,7 @@ def _md5_long(col) -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def _spread_input(df: DataFrame) -> DataFrame:
-    """Fan a low-parallelism input out to the session's shuffle width
-    BEFORE the expensive per-row hashing: a small corpus parquet reads as
-    a handful of scan tasks (one 20 MB file = ONE task at the default
-    128 MB split), which serializes the tokenize + K×md5 pipeline onto as
-    many cores. The shuffle moves the raw text once — cheaper than the
-    old plan's post-explode distinct, which shuffled the ~5× larger
-    shingle stream for the same parallelism. A big input (scan tasks ≥
-    shuffle partitions) passes through untouched — at production scale
-    this repartition never fires."""
-    sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    if df.rdd.getNumPartitions() < sp:
-        return df.repartition(sp)
-    return df
+_spread_input = spread_input
 
 
 def _shingle_arr(tk: F.Column, n: int) -> F.Column:
@@ -199,7 +186,11 @@ def ngram_jaccard_pairs(docs: DataFrame, shingle_n: int = 3,
     ``max_shingle_df`` docs are dropped before the self-join (fan-out
     bound; affects only pairs whose sole overlap is stop-shingles —
     those are below any useful threshold anyway)."""
-    sh = shingles(docs, shingle_n)
+    # materialize the shingle table once: it feeds FOUR independent
+    # subtrees (sizes, the shingle-df table, and both self-join sides of
+    # the inverted index), each of which would otherwise re-run the
+    # tokenize + shingle lineage
+    sh = shingles(docs, shingle_n).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     rare = (sh.join(sh.groupBy("shingle")
                       .agg(F.count("*").alias("df_sh")),
@@ -246,8 +237,9 @@ def simhash64(docs: DataFrame) -> DataFrame:
     reduces each doc to a single 60-long row before the only shuffle (the
     old plan posexploded every token into 60 vote rows and shuffled
     n_tokens × 60 rows through a (doc_id, pos) aggregation)."""
-    toks = (docs.select("doc_id",
-                        F.explode(sql_tokens("text")).alias("token"))
+    toks = (spread_input(docs.select("doc_id", "text"))
+            .select("doc_id",
+                    F.explode(sql_tokens("text")).alias("token"))
             .select("doc_id", _md5_long(F.col("token")).alias("h")))
     votes = toks.groupBy("doc_id").agg(*[
         F.sum(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1))

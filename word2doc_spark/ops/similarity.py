@@ -33,16 +33,7 @@ def cosine_col(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
-def _spread_input(df: DataFrame) -> DataFrame:
-    """Fan a low-parallelism input out to the session's shuffle width
-    before per-row vector math — a small parquet reads as one scan task
-    at the default 128 MB split, serializing the fold pipeline onto one
-    core. No-op when scan parallelism already covers the shuffle width
-    (production scale)."""
-    sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    if df.rdd.getNumPartitions() < sp:
-        return df.repartition(sp)
-    return df
+from word2doc_spark.ops.textstats import spread_input as _spread_input
 
 
 def brute_force_topk(vectors: DataFrame, queries: DataFrame,
@@ -310,8 +301,13 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     if not centroids:
         return _empty_topk(vectors.sparkSession)
     if assignment is None:
-        assignment = ivf_assign(vectors.select("vec_id", "embedding"),
-                                centroids)
+        # spread HERE (not in ivf_assign, whose plan stays shuffle-free
+        # for persisted-index builds): the per-row codebook argmax is an
+        # interpreted HOF fold, serialized onto a small parquet's few
+        # scan tasks otherwise
+        assignment = ivf_assign(
+            _spread_input(vectors.select("vec_id", "embedding")),
+            centroids)
 
     # per-query probe list: sort the scored codebook descending per row,
     # keep n_probe, explode — no crossJoin, no window
@@ -336,12 +332,20 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     # exceed the broadcast limit where a shuffle join degrades gracefully
     # — let AQE pick the strategy there
     probe_side = F.broadcast(probes) if queries.isLocal() else probes
-    cand = (assignment.join(probe_side, "cell_id")
+    # per-side norms once per assignment/probe row instead of per
+    # candidate pair (bit-identical: same fold, same multiply order)
+    cand = (assignment
+            .withColumn("_vn",
+                        _norm(F.col("embedding").cast("array<double>")))
+            .join(probe_side.withColumn(
+                "_qn", _norm(F.col("qe").cast("array<double>"))),
+                "cell_id")
             .filter(F.col("vec_id") != F.col("query_vec_id")))
     scored = cand.select(
         "query_vec_id", F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine_col(F.col("qe").cast("array<double>"),
-                           F.col("embedding").cast("array<double>")), 6)
+        F.round(_dot(F.col("qe").cast("array<double>"),
+                     F.col("embedding").cast("array<double>"))
+                / (F.col("_qn") * F.col("_vn")), 6)
          .alias("cosine"))
     w = Window.partitionBy("query_vec_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id"))
@@ -364,11 +368,17 @@ def embedding_near_dupes(vectors: DataFrame, threshold: float = 0.9,
     dim = dim or _embedding_dim(vectors)
     if dim is None:
         return _empty_pairs(vectors.sparkSession)
-    v = vectors.select("vec_id", "embedding")
+    v = _spread_input(vectors.select("vec_id", "embedding"))
+    if n_tables > 1:
+        v = v.localCheckpoint(eager=True)
     cands = None
     for t in range(n_tables):
         planes = random_hyperplanes(dim, n_planes, seed + 101 * t)
-        vb = lsh_bucket(v, planes, "vec_id").withColumn("tbl", F.lit(t))
+        # per-vector norm computed once per table row, not per pair —
+        # bit-identical (same fold, same multiply order)
+        vb = (lsh_bucket(v, planes, "vec_id").withColumn("tbl", F.lit(t))
+              .withColumn("_n",
+                          _norm(F.col("embedding").cast("array<double>"))))
         a = vb.alias("a")
         b = vb.alias("b")
         c = (a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
@@ -377,11 +387,14 @@ def embedding_near_dupes(vectors: DataFrame, threshold: float = 0.9,
                .select(F.col("a.vec_id").alias("vec_a"),
                        F.col("b.vec_id").alias("vec_b"),
                        F.col("a.embedding").alias("ea"),
-                       F.col("b.embedding").alias("eb")))
+                       F.col("b.embedding").alias("eb"),
+                       F.col("a._n").alias("_na"),
+                       F.col("b._n").alias("_nb")))
         cands = c if cands is None else cands.unionByName(c)
     cand = cands.dropDuplicates(["vec_a", "vec_b"])
-    cos = cosine_col(F.col("ea").cast("array<double>"),
-                     F.col("eb").cast("array<double>"))
+    cos = (_dot(F.col("ea").cast("array<double>"),
+                F.col("eb").cast("array<double>"))
+           / (F.col("_na") * F.col("_nb")))
     return (cand.filter(cos >= threshold)
                 .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine")))
 
@@ -399,23 +412,40 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     dim = dim or _embedding_dim(vectors)
     if dim is None:
         return _empty_topk(vectors.sparkSession)
-    v = vectors.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    # spread BEFORE the per-table bucket projections (the literal-plane
+    # dot products are interpreted HOF folds, serialized onto the few
+    # scan tasks of a small vector parquet otherwise) and materialize
+    # once: every hash table is an independent subtree over the same
+    # vector set, so n_tables lineages would otherwise re-run the scan
+    v = _spread_input(
+        vectors.select(F.col("vec_id").alias("neighbor_id"), "embedding"))
+    if n_tables > 1:
+        v = v.localCheckpoint(eager=True)
     cands = None
     for t in range(n_tables):
         planes = random_hyperplanes(dim, n_planes, seed + 101 * t)
-        vb = lsh_bucket(v, planes, "neighbor_id").withColumn("tbl", F.lit(t))
+        # per-side norms computed once per (vector, table) row BEFORE the
+        # join — the old plan re-folded both norms per candidate pair
+        # (bit-identical values: same fold, same multiply order)
+        vb = (lsh_bucket(v, planes, "neighbor_id")
+              .withColumn("tbl", F.lit(t))
+              .withColumn("_vn",
+                          _norm(F.col("embedding").cast("array<double>"))))
         qb = (lsh_bucket(queries, planes, "query_vec_id")
               .withColumn("tbl", F.lit(t))
-              .withColumnRenamed("embedding", "qe"))
+              .withColumnRenamed("embedding", "qe")
+              .withColumn("_qn", _norm(F.col("qe").cast("array<double>"))))
         c = (vb.join(F.broadcast(qb), ["tbl", "bucket"])
                .filter(F.col("neighbor_id") != F.col("query_vec_id"))
-               .select("query_vec_id", "neighbor_id", "qe", "embedding"))
+               .select("query_vec_id", "neighbor_id", "qe", "embedding",
+                       "_qn", "_vn"))
         cands = c if cands is None else cands.unionByName(c)
     cand = cands.dropDuplicates(["query_vec_id", "neighbor_id"])
     scored = cand.select(
         "query_vec_id", "neighbor_id",
-        F.round(cosine_col(F.col("qe").cast("array<double>"),
-                           F.col("embedding").cast("array<double>")), 6)
+        F.round(_dot(F.col("qe").cast("array<double>"),
+                     F.col("embedding").cast("array<double>"))
+                / (F.col("_qn") * F.col("_vn")), 6)
          .alias("cosine"))
     w = Window.partitionBy("query_vec_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id"))

@@ -21,6 +21,20 @@ from word2doc_spark.functions.stopwords import (
 TOKEN_SPLIT_RE = "[^a-z0-9]+"
 
 
+def spread_input(df: DataFrame) -> DataFrame:
+    """Fan a low-parallelism input out to the session's shuffle width
+    BEFORE expensive per-row work: a small corpus parquet reads as a
+    handful of scan tasks (one 20 MB file = ONE task at the default
+    128 MB split), which serializes interpreted higher-order-function
+    projections / per-row hashing onto as many cores. A big input (scan
+    tasks ≥ shuffle partitions) passes through untouched — at
+    production scale this repartition never fires."""
+    sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() < sp:
+        return df.repartition(sp)
+    return df
+
+
 def sql_tokens(col: str | Column = "text") -> Column:
     """array<string> of lowercase alnum tokens; twin of DuckDB
     ``list_filter(string_split_regex(lower(x),'[^a-z0-9]+'), t -> t<>'')``."""
@@ -72,7 +86,11 @@ def lang_id(docs: DataFrame) -> DataFrame:
 
 def quality_score(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, stopword_ratio, mean_token_len, quality) —
-    length/stopword heuristics a pretraining pipeline filters on."""
+    length/stopword heuristics a pretraining pipeline filters on.
+    The stopword filter + length fold are interpreted HOF lambdas (the
+    heaviest per-row projection in this module) — spread a
+    few-scan-task input first so they parallelize."""
+    docs = spread_input(docs.select("doc_id", "text"))
     toks = sql_tokens("text")
     n = F.size(toks)
     sw_arr = F.array(*[F.lit(w) for w in sorted(STOPWORDS)])

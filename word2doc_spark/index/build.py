@@ -904,34 +904,60 @@ def build_index(
             wall = time.time() - t0
             # derive the per-term stats table from the segment METADATA
             # (column-pruned scan; payloads unread), carrying per-term
-            # segment/byte counts so the per-shard lineage rows aggregate
-            # from the TINY terms table — the old second scan+groupBy
-            # over the shards metadata is folded into the same pass
+            # segment/byte counts so the per-shard lineage rows fall out
+            # of the SAME job: observed per-shard conditional aggregates
+            # ride the terms write (Observation metrics are exactly-once
+            # per successful action) — the old shape paid a second
+            # scan+groupBy job over the shards metadata, then a third
+            # over the terms table
             written = spark.read.parquet(shards_path).filter(
                 F.col("shard_id").isin(group))
             term_stats = (written.groupBy("shard_id", "term_id")
                           .agg(F.sum("n_postings").alias("df"),
                                F.count("*").alias("segments"),
                                F.sum(F.length("payload")).alias("bytes")))
+            obs = None
+            if len(group) <= 64:
+                from pyspark.sql import Observation
+                obs = Observation(f"shard_stats_{group[0]}")
+                aggs = []
+                for s in group:
+                    cond = F.col("shard_id") == s
+                    aggs += [
+                        F.count(F.when(cond, 1)).alias(f"t{s}"),
+                        F.sum(F.when(cond, F.col("segments")))
+                         .alias(f"s{s}"),
+                        F.sum(F.when(cond, F.col("df"))).alias(f"p{s}"),
+                        F.sum(F.when(cond, F.col("bytes")))
+                         .alias(f"b{s}"),
+                    ]
+                term_stats = term_stats.observe(obs, *aggs)
             (term_stats.write.mode("overwrite").partitionBy("shard_id")
              .parquet(terms_path))
-            srows = (spark.read.parquet(terms_path)
-                     .filter(F.col("shard_id").isin(group))
-                     .groupBy("shard_id")
-                     .agg(F.count("*").alias("terms"),
-                          F.sum("segments").alias("segments"),
-                          F.sum("df").alias("postings"),
-                          F.sum("bytes").alias("bytes"))
-                     .collect())
-            got = {r["shard_id"]: r for r in srows}
+            if obs is not None:
+                m = obs.get
+                got = {s: (int(m[f"t{s}"] or 0), int(m[f"s{s}"] or 0),
+                           int(m[f"p{s}"] or 0), int(m[f"b{s}"] or 0))
+                       for s in group}
+            else:  # very wide groups: one tiny read of the terms table
+                srows = (spark.read.parquet(terms_path)
+                         .filter(F.col("shard_id").isin(group))
+                         .groupBy("shard_id")
+                         .agg(F.count("*").alias("terms"),
+                              F.sum("segments").alias("segments"),
+                              F.sum("df").alias("postings"),
+                              F.sum("bytes").alias("bytes"))
+                         .collect())
+                got = {r["shard_id"]: (int(r["terms"]),
+                                       int(r["segments"]),
+                                       int(r["postings"] or 0),
+                                       int(r["bytes"] or 0))
+                       for r in srows}
             for shard_id in group:
-                r = got.get(shard_id)
+                t_, s_, p_, b_ = got.get(shard_id, (0, 0, 0, 0))
                 manifest.write_shard(
                     shard_id, fp,
-                    n_terms=int(r["terms"]) if r else 0,
-                    n_postings=int(r["postings"] or 0) if r else 0,
-                    n_segments=int(r["segments"]) if r else 0,
-                    bytes=int(r["bytes"] or 0) if r else 0,
+                    n_terms=t_, n_postings=p_, n_segments=s_, bytes=b_,
                     wall_s=wall / len(group),
                 )
     finally:

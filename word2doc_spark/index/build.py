@@ -360,6 +360,41 @@ def _encode_dl_runs(range_width: int, chunk_docs: int, block_size: int):
     return gen
 
 
+def _write_staged(df: DataFrame, stage_path: str,
+                  config: IndexConfig) -> None:
+    """Write the staged blob table. Default (one-job encode): hive
+    partition by the 2-value ``_dl`` flag only — the encode consumes
+    every posting blob anyway, and the dl chain prunes to its own (tiny)
+    partition; per-shard hive partitioning made every analyze task open
+    num_shards+1 parquet writers (32 tasks × 9 values = 288 small files
+    at the bench shape; the dynamic-partition write measured ~2.5× a
+    flat write). Grouped encode (shards_per_job > 0) keeps the per-shard
+    layout its shard-subset reads prune on; the choice is part of the
+    config fingerprint, so resume never mixes layouts."""
+    if config.shards_per_job > 0:
+        (df.write.mode("overwrite").partitionBy("shard_id")
+         .parquet(stage_path))
+    else:
+        (df.withColumn("_dl", (F.col("shard_id") < 0).cast("int"))
+         .write.mode("overwrite").partitionBy("_dl").parquet(stage_path))
+
+
+def _staged_part(spark: SparkSession, stage_path: str,
+                 dl: bool) -> DataFrame:
+    """The posting (dl=False) or dl-blob (dl=True) slice of a staged
+    table, pruning on whichever layout is on disk (``_dl`` flag from
+    _write_staged, or the legacy per-shard hive partitioning — an index
+    staged by older code resumes without rebuilding)."""
+    staged = spark.read.parquet(stage_path)
+    if "_dl" in staged.columns:
+        # cast-compare: hive partition values may surface as string or
+        # int depending on partition-type inference
+        return staged.filter(
+            F.col("_dl").cast("int") == F.lit(1 if dl else 0))
+    return staged.filter(F.col("shard_id") == -1 if dl
+                         else F.col("shard_id") >= 0)
+
+
 def _build_doclen(spark: SparkSession, stage_path: str, doclen_path: str,
                   doclen_seg_path: str, range_width: int,
                   config: IndexConfig, sp: int) -> int:
@@ -383,13 +418,12 @@ def _build_doclen(spark: SparkSession, stage_path: str, doclen_path: str,
                 "dl": np.concatenate([p[1] for p in parts]),
             })
 
-    staged = spark.read.parquet(stage_path)
     # sequential chain INSIDE the dl thread: the whole chain already
     # overlaps the segment encode; fanning these three jobs out
     # concurrently as well was measured SLOWER (4 simultaneous python
     # stages × n_cores workers oversubscribe the box — encode wall
     # inflated ~2× at the sf0.1 bench)
-    (staged.filter(F.col("shard_id") == -1).select("blob")
+    (_staged_part(spark, stage_path, dl=True).select("blob")
            .mapInPandas(decode_dl_pairs, "doc_id long, dl long")
            .write.mode("overwrite").parquet(doclen_path))
     doclen = spark.read.parquet(doclen_path)
@@ -816,10 +850,10 @@ def build_index(
                           .mapInPandas(ids_only, "doc_id long, url string")
                           .write.mode("overwrite").parquet(docs_path))),
                 ("analyze_stage",
-                 lambda: (ranged.select("text", "_pkey")
-                          .mapInPandas(ids_and_analyze, STAGE_SCHEMA)
-                          .write.mode("overwrite")
-                          .partitionBy("shard_id").parquet(stage_path))),
+                 lambda: _write_staged(
+                     ranged.select("text", "_pkey")
+                     .mapInPandas(ids_and_analyze, STAGE_SCHEMA),
+                     stage_path, config)),
             )
             t_sub = _lap("ids+analyze", t_sub)
         finally:
@@ -881,10 +915,9 @@ def build_index(
         "spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        # exclude the dl blob partition (shard_id=-1) — segment encode
-        # consumes posting blobs only
-        staged_all = (spark.read.parquet(stage_path)
-                      .filter(F.col("shard_id") >= 0))
+        # exclude the dl blobs — segment encode consumes posting blobs
+        # only (layout-adaptive pruning, see _staged_part)
+        staged_all = _staged_part(spark, stage_path, dl=False)
         for group in groups:
             todo = [s for s in group if s not in done]
             if not todo:

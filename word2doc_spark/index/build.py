@@ -424,6 +424,7 @@ def _build_doclen(spark: SparkSession, stage_path: str, doclen_path: str,
     # stages × n_cores workers oversubscribe the box — encode wall
     # inflated ~2× at the sf0.1 bench)
     (_staged_part(spark, stage_path, dl=True).select("blob")
+           .coalesce(max(8, sp // 4))
            .mapInPandas(decode_dl_pairs, "doc_id long, dl long")
            .write.mode("overwrite").parquet(doclen_path))
     doclen = spark.read.parquet(doclen_path)
@@ -844,9 +845,15 @@ def build_index(
             # stragglers leave idle (sequential they cost wall(ids) +
             # wall(analyze); ids_only is numpy-cheap, so its workers
             # barely contend with the analyzer's)
+            # coalesce the narrow (doc_id, url) output: sp files of a few
+            # hundred rows each tax every query's attach_urls scan with
+            # per-file opens; ids_only handles several buckets per task
+            # (offset-keyed runs), so merging partitions is id-safe
+            n_docs_files = max(8, sp // 4)
             _concurrent_jobs(
                 ("doc_ids",
                  lambda: (ranged.select("url", "_pkey")
+                          .coalesce(n_docs_files)
                           .mapInPandas(ids_only, "doc_id long, url string")
                           .write.mode("overwrite").parquet(docs_path))),
                 ("analyze_stage",

@@ -952,7 +952,14 @@ def build_index(
             # over the terms table
             written = spark.read.parquet(shards_path).filter(
                 F.col("shard_id").isin(group))
-            term_stats = (written.groupBy("shard_id", "term_id")
+            # repartition by shard_id BEFORE the agg: the partitioning
+            # satisfies groupBy(shard_id, term_id) (subset clustering),
+            # so no second exchange appears, and the hive write emits
+            # ONE file per shard instead of one per (shuffle partition,
+            # shard) pair — sp × |group| small files otherwise
+            term_stats = (written
+                          .repartition(config.num_shards, "shard_id")
+                          .groupBy("shard_id", "term_id")
                           .agg(F.sum("n_postings").alias("df"),
                                F.count("*").alias("segments"),
                                F.sum(F.length("payload")).alias("bytes")))

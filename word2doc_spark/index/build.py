@@ -490,6 +490,30 @@ def _shard_groups(num_shards: int, shards_per_job: int) -> list[list[int]]:
 # second full shuffle over the posting stream
 
 
+def _strip_repartitions(df: DataFrame) -> DataFrame:
+    """Peel top-level Repartition/RepartitionByExpression nodes off a
+    DataFrame's plan — for ROW-SET consumers (like boundary sampling)
+    the caller's repartition is a pure wasted Exchange (measured 3× the
+    sampling wall on a driver-local 30k corpus, whose repartition
+    re-ships every row). Best-effort: any reflection hiccup returns the
+    DataFrame unchanged."""
+    try:
+        lp = df._jdf.queryExecution().analyzed()
+        changed = False
+        while lp.getClass().getSimpleName() in (
+                "Repartition", "RepartitionByExpression"):
+            lp = lp.children().head()
+            changed = True
+        if not changed:
+            return df
+        spark = df.sparkSession
+        jnew = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            spark._jsparkSession, lp)
+        return DataFrame(jnew, spark)
+    except Exception:
+        return df
+
+
 def _sample_url_bounds(pages: DataFrame, n_buckets: int,
                        max_sample: int = 100_000) -> list[str]:
     """URL range-bucket boundaries from a PRE-extraction sample.
@@ -512,8 +536,10 @@ def _sample_url_bounds(pages: DataFrame, n_buckets: int,
     evenly-spaced samples, still quantile-preserving per slice. The pass
     runs as a plain RDD ``mapPartitions`` — an Arrow mapInPandas variant
     was interleave-measured ~2× slower for this tiny per-row payload
-    (the Arrow eval machinery costs more than pickling short urls)."""
-    rdd = pages.select("url").rdd
+    (the Arrow eval machinery costs more than pickling short urls) —
+    over the repartition-stripped plan (bounds are a row-set function;
+    the caller's repartition is a wasted Exchange here)."""
+    rdd = _strip_repartitions(pages).select("url").rdd
     cap = max(256, max_sample // max(rdd.getNumPartitions(), 1))
 
     def part_sample(it):
